@@ -1,0 +1,109 @@
+"""Headline benchmark: batched S2-Pro-scale (4B) Dual-AR decode throughput on
+one chip, reported as audio-seconds of speech generated per wall-clock second.
+
+Prints ONE JSON line:
+  {"metric": "audio_seconds_per_second_per_chip", "value": N,
+   "unit": "audio_s/s/chip", "vs_baseline": N}
+
+Baseline: the reference serves the same 4B model at RTF 0.195 on one H200 via
+SGLang (reference README.md:134-137) = 1/0.195 ≈ 5.13 audio-seconds/second.
+`vs_baseline` is our value divided by that. Acoustic frame rate is 44100/2048
+≈ 21.53 codes/s (reference modded_dac_vq.yaml + modded_dac.py:833,861), so
+audio_s/s = decode_steps/s × batch / 21.53.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+import jax.numpy as jnp
+
+FRAME_RATE = 44100.0 / 2048.0          # ≈ 21.53 acoustic tokens/s
+BASELINE_AUDIO_S_PER_S = 1.0 / 0.195   # reference RTF on 1x H200
+
+
+def main():
+    from fish_speech_tpu.models.config import s2_pro_lm_config
+    from fish_speech_tpu.models.decode import SamplingConfig, decode_one_token
+    from fish_speech_tpu.models.dual_ar import KVCache, precompute_freqs_cis
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.sampling import RAS_WIN_SIZE, semantic_logit_bias
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        cfg = s2_pro_lm_config(max_seq_len=2048)
+        batch, cache_len, warmup, iters = 8, 2048, 5, 40
+    else:  # CPU smoke fallback
+        from __graft_entry__ import _entry_config
+        cfg = _entry_config()
+        batch, cache_len, warmup, iters = 2, 256, 1, 4
+
+    key = jax.random.key(0)
+    params = init_dual_ar_params(key, cfg, dtype=jnp.bfloat16)
+    cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,
+                           cfg.head_dim)
+    freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
+    fast_freqs = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
+                                      cfg.rope_base)
+    im_end = 5
+    sem_begin = cfg.vocab_size - cfg.codebook_size - 8
+    sem_end = cfg.vocab_size - 8 - 1
+    bias = semantic_logit_bias(cfg.vocab_size, sem_begin, sem_end, im_end)
+    sampling = SamplingConfig.create(temperature=0.7, top_p=0.7)
+    prev_win = jnp.zeros((batch, RAS_WIN_SIZE), jnp.int32)
+
+    import dataclasses
+    cfg = dataclasses.replace(cfg, semantic_begin_id=sem_begin,
+                              semantic_end_id=sem_end)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def step(params, cache_k, cache_v, cur, pos, key):
+        col, new_cache = decode_one_token(
+            params, cfg, cur, KVCache(cache_k, cache_v), pos, freqs,
+            fast_freqs, bias, key, sampling, prev_win, top_k=30, greedy=False)
+        return new_cache.k, new_cache.v, col[:, :, None]
+
+    cur = jnp.zeros((batch, cfg.num_codebooks + 1, 1), jnp.int32)
+    ck, cv = cache.k, cache.v
+    pos = jnp.int32(128)
+
+    t_compile = time.perf_counter()
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        ck, cv, cur = step(params, ck, cv, cur, pos, sub)
+        pos = pos + 1
+    jax.block_until_ready(cur)
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        ck, cv, cur = step(params, ck, cv, cur, pos, sub)
+        pos = pos + 1
+    jax.block_until_ready(cur)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = iters / dt
+    audio_s_per_s = steps_per_s * batch / FRAME_RATE
+    result = {
+        "metric": "audio_seconds_per_second_per_chip",
+        "value": round(audio_s_per_s, 3),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(audio_s_per_s / BASELINE_AUDIO_S_PER_S, 3),
+    }
+    print(json.dumps(result))
+    print(f"# decode_steps/s={steps_per_s:.1f} batch={batch} "
+          f"platform={jax.devices()[0].platform} warmup_s={compile_s:.1f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

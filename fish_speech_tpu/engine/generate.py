@@ -1,0 +1,246 @@
+"""Long-text generation driver + end-to-end TTS engine.
+
+Re-implements the reference `generate_long` flow
+(/root/reference/fish_speech/models/text2semantic/inference.py:454-733):
+speaker-tag splitting, byte/speaker-bounded batching, a system prompt carrying
+the voice-cloning reference (text + VQ codes), and per-batch conversation
+growth for multi-turn voice consistency. The device side is one jitted
+prefill+decode program (models/decode.py) and one jitted vocoder call —
+codes stay on device between them.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Iterator, Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import DualARConfig
+from ..models.decode import SamplingConfig, generate
+from ..ops.sampling import semantic_logit_bias
+from ..text.content import TextPart, VQPart
+from ..text.conversation import Conversation, Message
+from ..text.tokenizer import IM_END_TOKEN
+
+
+def split_text_by_speaker(text: str) -> list[str]:
+    """Split into turns on <|speaker:N|> tags (ref inference.py:454-482)."""
+    pattern = r"(<\|speaker:\d+\|>)"
+    parts = re.split(pattern, text)
+    turns = []
+    i = 0
+    while i < len(parts):
+        part = parts[i].strip()
+        if re.match(pattern, part):
+            if i + 1 < len(parts):
+                turns.append((part + parts[i + 1]).strip())
+                i += 2
+            else:
+                turns.append(part)
+                i += 1
+        else:
+            i += 1
+    return turns
+
+
+def group_turns_into_batches(turns: list[str], max_speakers: int = 5,
+                             max_bytes: int = 300) -> list[str]:
+    """Group turns under byte/speaker limits (ref inference.py:485-520)."""
+    batches, current, current_bytes = [], [], 0
+    for turn in turns:
+        turn_bytes = len(turn.encode("utf-8"))
+        if len(current) >= max_speakers or (current_bytes + turn_bytes > max_bytes
+                                            and current):
+            batches.append("\n".join(current))
+            current, current_bytes = [turn], turn_bytes
+        else:
+            current.append(turn)
+            current_bytes += turn_bytes
+    if current:
+        batches.append("\n".join(current))
+    return batches
+
+
+@dataclass
+class GenerateLongRequest:
+    text: str
+    max_new_tokens: int = 0          # 0 = up to max_seq_len
+    top_p: float = 0.9
+    top_k: int = 30
+    temperature: float = 1.0
+    chunk_length: int = 300          # max bytes per batch
+    prompt_text: list[str] | None = None          # voice-clone reference text
+    prompt_tokens: list[np.ndarray] | None = None  # (K, T) codes per reference
+    seed: int = 42
+
+
+@dataclass
+class GenerateResponse:
+    action: Literal["sample", "next"]
+    codes: np.ndarray | None = None   # (K, T)
+    text: str | None = None
+    tokens_generated: int = 0
+    wall_s: float = 0.0
+
+
+def build_base_conversation(prompt_text: list[str] | None,
+                            prompt_tokens: list[np.ndarray] | None) -> Conversation:
+    """System message, optionally with the voice-cloning reference
+    (ref inference.py:562-598)."""
+    conv = Conversation()
+    if prompt_text and prompt_tokens:
+        tagged = []
+        for i, t in enumerate(prompt_text):
+            if not re.search(r"<\|speaker:\d+\|>", t):
+                tagged.append(f"<|speaker:{i}|>{t}")
+            else:
+                tagged.append(t)
+        parts = [
+            TextPart(text="convert the provided text to speech reference to "
+                          "the following:\n\nText:\n"),
+            TextPart(text="\n".join(tagged)),
+            TextPart(text="\n\nSpeech:\n"),
+            VQPart(codes=np.concatenate(prompt_tokens, axis=1)),
+        ]
+    else:
+        parts = [TextPart(text="convert the provided text to speech")]
+    conv.append(Message(role="system", parts=parts, add_im_start=True,
+                        add_im_end=True))
+    return conv
+
+
+class TTSEngine:
+    """text -> codes (-> waveform, when codec params are attached)."""
+
+    def __init__(self, params: dict, cfg: DualARConfig, tokenizer,
+                 codec_params: dict | None = None, codec_cfg=None,
+                 cache_len: int | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.codec_params = codec_params
+        self.codec_cfg = codec_cfg
+        self.cache_len = cache_len or cfg.max_seq_len
+        self.im_end_id = tokenizer.get_token_id(IM_END_TOKEN)
+        self._bias = semantic_logit_bias(
+            cfg.vocab_size, cfg.semantic_begin_id, cfg.semantic_end_id,
+            self.im_end_id)
+        if codec_params is not None:
+            from ..codec.model import dac_encode, dac_from_indices
+
+            self._jit_vocoder = jax.jit(
+                lambda p, c: dac_from_indices(p, self.codec_cfg, c))
+            self._jit_encoder = jax.jit(
+                lambda p, w: dac_encode(p, self.codec_cfg, w))
+
+    # -- codes -> audio ----------------------------------------------------
+    def decode_codes(self, codes: np.ndarray) -> np.ndarray:
+        from ..codec.model import dac_from_indices
+
+        assert self.codec_params is not None, "no codec attached"
+        # bucket the frame count so the jitted vocoder is reused across
+        # lengths: the codec is fully causal, so right-padding the codes
+        # cannot change the prefix (tested: streaming-prefix invariant)
+        n = codes.shape[1]
+        bucket = max(32, -(-n // 64) * 64)
+        padded = np.zeros((codes.shape[0], bucket), dtype=np.int32)
+        padded[:, :n] = codes
+        wav = self._jit_vocoder(self.codec_params, jnp.asarray(padded)[None])
+        return np.asarray(wav[0, : n * self.codec_cfg.frame_length])
+
+    # -- audio -> codes (voice-cloning prompt) -----------------------------
+    def encode_reference(self, wav: np.ndarray) -> np.ndarray:
+        from ..codec.model import dac_encode
+
+        assert self.codec_params is not None, "no codec attached"
+        # bucket samples (causal encoder: zero right-pad never changes the
+        # prefix codes) so the jitted encoder is reused across lengths
+        fl = self.codec_cfg.frame_length
+        n_frames = -(-len(wav) // fl)
+        bucket_frames = max(32, -(-n_frames // 64) * 64)
+        padded = np.zeros(bucket_frames * fl, dtype=np.float32)
+        padded[: len(wav)] = wav
+        res = self._jit_encoder(self.codec_params, jnp.asarray(padded)[None])
+        return np.asarray(res.codes[0, :, :n_frames])
+
+    # -- long-text driver --------------------------------------------------
+    def generate_long(self, req: GenerateLongRequest) -> Iterator[GenerateResponse]:
+        cfg = self.cfg
+        max_length = self.cache_len
+
+        conversation = build_base_conversation(req.prompt_text, req.prompt_tokens)
+
+        turns = split_text_by_speaker(req.text)
+        batches = (group_turns_into_batches(turns, max_speakers=5,
+                                            max_bytes=req.chunk_length)
+                   if turns else [req.text])
+
+        key = jax.random.key(req.seed)
+        sampling = SamplingConfig.create(req.temperature, req.top_p)
+
+        for batch_idx, batch_text in enumerate(batches):
+            conversation.append(Message(
+                role="user", parts=[TextPart(text=batch_text)],
+                add_im_start=True, add_im_end=True))
+
+            conv_gen = conversation.copy()
+            conv_gen.append(Message(role="assistant", parts=[],
+                                    modality="voice", add_im_start=True,
+                                    add_im_end=False))
+
+            encoded = conv_gen.encode_for_inference(
+                self.tokenizer, num_codebooks=cfg.num_codebooks)
+            prompt_len = encoded.shape[1]
+            if prompt_len > max_length - 2048 and max_length > 4096:
+                raise ValueError(
+                    f"Prompt is too long: {prompt_len} > {max_length - 2048}")
+
+            # bucket the prompt length (left-pad) so the jitted program is
+            # reused across requests instead of recompiling per length
+            bucket = max(64, -(-prompt_len // 256) * 256)
+            bucket = min(bucket, max_length - 64)
+            padded = np.zeros((encoded.shape[0], bucket), dtype=np.int32)
+            padded[:, bucket - prompt_len:] = encoded[:, :prompt_len]
+            start = bucket - prompt_len
+
+            max_new = self.cache_len - bucket
+            if req.max_new_tokens:
+                max_new = min(max_new, -(-req.max_new_tokens // 256) * 256)
+
+            t0 = time.perf_counter()
+            key, sub = jax.random.split(key)
+            codes_buf, lengths = generate(
+                self.params, cfg, jnp.asarray(padded)[None],
+                jnp.asarray([start], jnp.int32), sub, sampling, self._bias,
+                max_new_tokens=max_new, im_end_id=self.im_end_id,
+                top_k=req.top_k, cache_len=self.cache_len)
+            n_valid = int(lengths[0])
+            if req.max_new_tokens:
+                n_valid = min(n_valid, req.max_new_tokens)
+            wall = time.perf_counter() - t0
+
+            codes = np.asarray(codes_buf[0, 1:, :n_valid])
+            assert (codes >= 0).all(), "negative code generated"
+
+            # grow the conversation with the assistant turn for consistency
+            conversation.append(Message(
+                role="assistant", parts=[VQPart(codes=codes)],
+                modality="voice", add_im_start=True, add_im_end=True))
+
+            yield GenerateResponse(action="sample", codes=codes,
+                                   text=batch_text,
+                                   tokens_generated=n_valid + 1, wall_s=wall)
+
+        yield GenerateResponse(action="next")
+
+    # -- one-call TTS ------------------------------------------------------
+    def tts(self, req: GenerateLongRequest) -> np.ndarray:
+        """Full text -> waveform (concatenated over batches)."""
+        segs = [r.codes for r in self.generate_long(req) if r.action == "sample"]
+        merged = np.concatenate(segs, axis=1)
+        return self.decode_codes(merged)

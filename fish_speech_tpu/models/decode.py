@@ -1,0 +1,196 @@
+"""Device-resident autoregressive decode loop for the Dual-AR transformer.
+
+Replaces the reference's eager python token loop
+(/root/reference/fish_speech/models/text2semantic/inference.py:96-359) with a
+single jitted program: prefill + `lax.while_loop` over decode steps, with the
+KV cache, RAS window, sampled codes, RNG and stop flags all threaded as
+device-resident state. The `im_end` stop check is a device-side flag (no host
+sync per token; contrast ref inference.py:233).
+
+Batching: prompts are LEFT-padded and right-aligned to a common length;
+`start_offsets (B,)` marks each row's first real slot. RoPE positions are
+shifted per row so every row sees positions 0..len-1, and the attention mask
+excludes pad slots — equivalent to B independent unpadded decodes, which is
+what makes multi-utterance batched serving a single pjit program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import (
+    RAS_HIGH_TEMP,
+    RAS_HIGH_TOP_P,
+    RAS_WIN_SIZE,
+    push_window,
+    ras_select,
+    sample_one,
+    greedy_one,
+)
+from .config import DualARConfig
+from .dual_ar import (
+    KVCache,
+    forward_generate,
+    forward_generate_fast,
+    precompute_freqs_cis,
+)
+
+
+class SamplingConfig(NamedTuple):
+    temperature: jax.Array  # f32 scalar
+    top_p: jax.Array        # f32 scalar
+
+    @staticmethod
+    def create(temperature: float = 0.7, top_p: float = 0.7) -> "SamplingConfig":
+        return SamplingConfig(jnp.float32(temperature), jnp.float32(top_p))
+
+
+class DecodeState(NamedTuple):
+    cache: KVCache
+    cur: jax.Array          # (B, K+1) last emitted column
+    pos: jax.Array          # scalar int32 — next cache slot to write
+    prev_window: jax.Array  # (B, RAS_WIN_SIZE) recent main tokens
+    key: jax.Array          # PRNG key
+    finished: jax.Array     # (B,) bool
+    out: jax.Array          # (B, K+1, max_new) emitted columns
+    step: jax.Array         # scalar int32
+    lengths: jax.Array      # (B,) number of emitted columns before im_end
+
+
+def _maybe_sample(key, logits, temperature, top_p, top_k, greedy):
+    if greedy:
+        return greedy_one(logits)
+    return sample_one(key, logits, temperature, top_p, top_k)
+
+
+def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
+                     cache: KVCache, input_pos: jax.Array,
+                     freqs_table: jax.Array, fast_freqs_table: jax.Array,
+                     bias: jax.Array, key: jax.Array, sampling: SamplingConfig,
+                     prev_window: jax.Array | None, *, top_k: int,
+                     greedy: bool, rope_positions: jax.Array | None = None,
+                     key_valid_from: jax.Array | None = None):
+    """One full Dual-AR step (ref inference.py:96-181).
+
+    x: (B, K+1, T) — prompt on prefill (T>1) or last column (T=1).
+    Returns (column (B, K+1) int32, new_cache).
+    """
+    b = x.shape[0]
+    out = forward_generate(params, cfg, x, cache, input_pos, freqs_table,
+                           rope_positions=rope_positions,
+                           key_valid_from=key_valid_from)
+    logits = out.logits[:, -1, :].astype(jnp.float32) + bias  # (B, V)
+    hidden = out.hidden[:, -1, :]
+
+    k_norm, k_high, k_fast = jax.random.split(key, 3)
+    token_normal = _maybe_sample(k_norm, logits, sampling.temperature,
+                                 sampling.top_p, top_k, greedy)
+    if prev_window is not None:
+        token_high = _maybe_sample(
+            k_high, logits, jnp.float32(RAS_HIGH_TEMP),
+            jnp.float32(RAS_HIGH_TOP_P), top_k, greedy)
+        token = ras_select(token_normal, token_high, prev_window,
+                           cfg.semantic_begin_id, cfg.semantic_end_id)
+    else:
+        token = token_normal
+
+    # Fast head: prime position 0 with the slow hidden state, then emit the
+    # residual codebooks autoregressively (ref inference.py:146-174).
+    fast_cache = KVCache.create(cfg.n_fast_layer, b, cfg.num_codebooks,
+                                cfg.fast_n_local_heads, cfg.fast_head_dim,
+                                dtype=out.hidden.dtype)
+    _, fast_cache = forward_generate_fast(params, cfg, hidden, fast_cache,
+                                          jnp.int32(0), fast_freqs_table)
+    code0 = jnp.clip(token - cfg.semantic_begin_id, 0, cfg.codebook_size - 1)
+
+    def fast_step(carry, idx):
+        prev_code, fcache, fkey = carry
+        emb = jnp.take(params["fast_embeddings"], prev_code, axis=0)
+        logits_f, fcache = forward_generate_fast(params, cfg, emb, fcache,
+                                                 idx, fast_freqs_table)
+        fkey, sub = jax.random.split(fkey)
+        code = _maybe_sample(sub, logits_f.astype(jnp.float32),
+                             sampling.temperature, sampling.top_p, top_k, greedy)
+        return (code, fcache, fkey), code
+
+    (_, _, _), rest_codes = jax.lax.scan(
+        fast_step, (code0, fast_cache, k_fast),
+        jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32))
+    # rest_codes: (K-1, B) -> (B, K-1)
+    column = jnp.concatenate(
+        [token[:, None], code0[:, None], rest_codes.T], axis=1)
+    return column.astype(jnp.int32), out.cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "top_k", "greedy",
+                                   "im_end_id", "cache_len"))
+def generate(params: dict, cfg: DualARConfig, prompt: jax.Array,
+             start_offsets: jax.Array, key: jax.Array,
+             sampling: SamplingConfig, bias: jax.Array, *,
+             max_new_tokens: int, im_end_id: int, top_k: int = 30,
+             greedy: bool = False, cache_len: int | None = None):
+    """Prefill + decode loop, fully on device (ref inference.py:241-359).
+
+    prompt: (B, K+1, T) int32, left-padded; start_offsets: (B,) first real slot.
+    Returns (codes (B, K+1, max_new_tokens), lengths (B,)) where lengths counts
+    columns before each row's im_end.
+    """
+    b, cb, t = prompt.shape
+    s = cache_len or cfg.max_seq_len
+    dtype = params["embeddings"].dtype
+    cache = KVCache.create(cfg.n_layer, b, s, cfg.n_local_heads, cfg.head_dim,
+                           dtype=dtype)
+    freqs_table = precompute_freqs_cis(s, cfg.head_dim, cfg.rope_base)
+    fast_freqs_table = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
+                                            cfg.rope_base)
+
+    rope_positions = jnp.maximum(
+        jnp.arange(t, dtype=jnp.int32)[None, :] - start_offsets[:, None], 0)
+
+    key, k_prefill = jax.random.split(key)
+    first_col, cache = decode_one_token(
+        params, cfg, prompt, cache, jnp.int32(0), freqs_table,
+        fast_freqs_table, bias, k_prefill, sampling, None,
+        top_k=top_k, greedy=greedy, rope_positions=rope_positions,
+        key_valid_from=start_offsets)
+
+    prev_window = jnp.zeros((b, RAS_WIN_SIZE), dtype=jnp.int32)
+    prev_window = push_window(prev_window, first_col[:, 0])
+
+    out = jnp.zeros((b, cb, max_new_tokens), dtype=jnp.int32)
+    out = out.at[:, :, 0].set(first_col)
+    finished = first_col[:, 0] == im_end_id
+    lengths = jnp.where(finished, 0, max_new_tokens)
+
+    state = DecodeState(cache=cache, cur=first_col, pos=jnp.int32(t),
+                        prev_window=prev_window, key=key, finished=finished,
+                        out=out, step=jnp.int32(1), lengths=lengths)
+
+    def cond(st: DecodeState):
+        return (st.step < max_new_tokens) & ~jnp.all(st.finished)
+
+    def body(st: DecodeState):
+        key, sub = jax.random.split(st.key)
+        rope_pos = (st.pos - start_offsets)[:, None]
+        col, cache = decode_one_token(
+            params, cfg, st.cur[:, :, None], st.cache, st.pos, freqs_table,
+            fast_freqs_table, bias, sub, sampling, st.prev_window,
+            top_k=top_k, greedy=greedy, rope_positions=rope_pos,
+            key_valid_from=start_offsets)
+        now_finished = col[:, 0] == im_end_id
+        lengths = jnp.where(now_finished & ~st.finished,
+                            jnp.minimum(st.lengths, st.step), st.lengths)
+        out = st.out.at[:, :, st.step].set(
+            jnp.where(st.finished[:, None], st.out[:, :, st.step], col))
+        return DecodeState(
+            cache=cache, cur=col, pos=st.pos + 1,
+            prev_window=push_window(st.prev_window, col[:, 0]),
+            key=key, finished=st.finished | now_finished, out=out,
+            step=st.step + 1, lengths=lengths)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.out, final.lengths

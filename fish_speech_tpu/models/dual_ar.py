@@ -1,0 +1,320 @@
+"""Dual-AR transformer (slow token decoder + fast residual-codebook head).
+
+TPU-native re-design of the reference model
+(/root/reference/fish_speech/models/text2semantic/llama.py:249-827):
+
+- pure-functional: parameters are a pytree, layers are *stacked* along a
+  leading axis and iterated with `lax.scan` (compile time stays flat in
+  depth, and the whole decode step fuses into one XLA program);
+- KV caches are fixed-shape arrays `(L, B, S, H_kv, Dh)` updated with
+  `dynamic_update_slice` — no in-place buffers, no dynamic shapes;
+- GQA is expressed by broadcasting KV heads into query groups;
+- RoPE tables are precomputed fp32->bf16 (matching the reference's rounding,
+  llama.py:1003-1022) and applied in fp32.
+
+Shapes: activations (B, T, D); token matrices (B, K+1, T) with row 0 the text
+token and rows 1..K the codebook codes (ref content_sequence.py:282-324).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import AttnDims, DualARConfig
+
+
+# ---------------------------------------------------------------------------
+# Shared primitives
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return normed.astype(x.dtype) * weight.astype(x.dtype)
+
+
+def precompute_freqs_cis(seq_len: int, n_elem: int, base: float) -> jax.Array:
+    """(T, n_elem//2, 2) bf16 table (ref llama.py:1003-1022)."""
+    freqs = 1.0 / (base ** (np.arange(0, n_elem, 2)[: n_elem // 2].astype(np.float32) / n_elem))
+    t = np.arange(seq_len, dtype=np.float32)
+    angles = np.outer(t, freqs)
+    cache = np.stack([np.cos(angles), np.sin(angles)], axis=-1)
+    return jnp.asarray(cache, dtype=jnp.bfloat16)
+
+
+def apply_rotary_emb(x: jax.Array, freqs_cis: jax.Array) -> jax.Array:
+    """x: (B, T, H, D); freqs_cis: (T, D//2, 2) or per-row (B, T, D//2, 2).
+    fp32 math (ref llama.py:1025)."""
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    if freqs_cis.ndim == 4:
+        fc = freqs_cis.astype(jnp.float32)[:, :, None, :, :]
+    else:
+        fc = freqs_cis.astype(jnp.float32)[None, :, None, :, :]
+    real = xf[..., 0] * fc[..., 0] - xf[..., 1] * fc[..., 1]
+    imag = xf[..., 1] * fc[..., 0] + xf[..., 0] * fc[..., 1]
+    return jnp.stack([real, imag], axis=-1).reshape(x.shape).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention (optionally KV-cached)
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, S, H_kv, Dh)
+    v: jax.Array
+
+    @staticmethod
+    def create(n_layer: int, batch: int, seq: int, n_kv: int, head_dim: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (n_layer, batch, seq, n_kv, head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
+              mask: jax.Array, cache_k: jax.Array | None = None,
+              cache_v: jax.Array | None = None, input_pos: jax.Array | None = None):
+    """Returns (out, new_cache_k, new_cache_v). mask: (B or 1, 1, Tq, S) bool."""
+    b, t, _ = x.shape
+    h, hkv, d = ad.n_head, ad.n_local_heads, ad.head_dim
+    qkv = x @ p["wqkv"].T
+    if ad.qkv_bias:
+        qkv = qkv + p["wqkv_b"]
+    q, k, v = jnp.split(qkv, [h * d, h * d + hkv * d], axis=-1)
+    q = q.reshape(b, t, h, d)
+    k = k.reshape(b, t, hkv, d)
+    v = v.reshape(b, t, hkv, d)
+
+    if ad.qk_norm:
+        q = rms_norm(q, p["q_norm"], 1e-5)
+        k = rms_norm(k, p["k_norm"], 1e-5)
+
+    q = apply_rotary_emb(q, freqs_cis)
+    k = apply_rotary_emb(k, freqs_cis)
+
+    if cache_k is not None:
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
+                                               (0, input_pos, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
+                                               (0, input_pos, 0, 0))
+        k, v = cache_k, cache_v
+
+    # GQA: group query heads over kv heads
+    g = h // hkv
+    qg = q.reshape(b, t, hkv, g, d)
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) * scale
+    # large-finite mask value (not -inf): fully-masked pad rows must stay
+    # finite, else NaN k/v written at pad cache slots poison `0 * NaN` later
+    scores = jnp.where(mask[:, :, None, :, :],
+                       scores.astype(jnp.float32), jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    y = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    y = y.reshape(b, t, h * d)
+    out = y @ p["wo"].T
+    if ad.o_bias:
+        out = out + p["wo_b"]
+    return out, cache_k, cache_v
+
+
+def _ffn(p: dict, x: jax.Array) -> jax.Array:
+    return (jax.nn.silu(x @ p["w1"].T) * (x @ p["w3"].T)) @ p["w2"].T
+
+
+def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
+           cache_k=None, cache_v=None, input_pos=None):
+    a, ck, cv = attention(p["attention"], ad, rms_norm(x, p["attention_norm"], eps),
+                          freqs_cis, mask, cache_k, cache_v, input_pos)
+    h = x + a
+    out = h + _ffn(p["feed_forward"], rms_norm(h, p["ffn_norm"], eps))
+    return out, ck, cv
+
+
+def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
+              mask, cache: KVCache | None = None, input_pos: jax.Array | None = None,
+              remat: bool = False):
+    """Scan the stacked layer params over depth. Returns (x, new_cache)."""
+    if cache is None:
+        def step(h, layer_p):
+            out, _, _ = _block(layer_p, ad, eps, h, freqs_cis, mask)
+            return out, None
+        if remat:
+            step = jax.checkpoint(step)
+        x, _ = jax.lax.scan(step, x, layers)
+        return x, None
+
+    def step(h, xs):
+        layer_p, ck, cv = xs
+        out, ck, cv = _block(layer_p, ad, eps, h, freqs_cis, mask, ck, cv, input_pos)
+        return out, (ck, cv)
+
+    x, (nk, nv) = jax.lax.scan(step, x, (layers, cache.k, cache.v))
+    return x, KVCache(nk, nv)
+
+
+# ---------------------------------------------------------------------------
+# Embedding of (K+1)-row token matrices (ref llama.py:326-345, 399-420)
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params: dict, cfg: DualARConfig, inp: jax.Array) -> jax.Array:
+    """inp: (B, K+1, T) int32 -> (B, T, D)."""
+    emb_dtype = params["embeddings"].dtype
+    codes = inp[:, 1:, :]  # (B, K, T)
+    offsets = (jnp.arange(cfg.num_codebooks, dtype=inp.dtype) * cfg.codebook_size)
+    idx = codes + offsets[None, :, None]
+    vq_embeds = jnp.take(params["codebook_embeddings"], idx, axis=0)  # (B,K,T,D)
+    vq_sum = jnp.sum(vq_embeds, axis=1)  # (B, T, D)
+
+    tok = inp[:, 0, :]
+    is_semantic = (tok >= cfg.semantic_begin_id) & (tok <= cfg.semantic_end_id)
+    vq_sum = jnp.where(is_semantic[..., None], vq_sum, jnp.zeros((), emb_dtype))
+
+    x = jnp.take(params["embeddings"], tok, axis=0) + vq_sum
+    if cfg.scale_codebook_embeddings:
+        scale = 1.0 / math.sqrt(cfg.num_codebooks + 1)
+        x = jnp.where(is_semantic[..., None], x * jnp.asarray(scale, emb_dtype), x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+
+class SlowOut(NamedTuple):
+    logits: jax.Array         # (B, Tq, vocab)
+    hidden: jax.Array         # (B, Tq, fast_dim) — already fast_project_in'ed
+    cache: KVCache | None
+
+
+def _token_logits(params: dict, cfg: DualARConfig, slow_out: jax.Array) -> jax.Array:
+    if cfg.tie_word_embeddings:
+        return slow_out @ params["embeddings"].T
+    return slow_out @ params["output"].T
+
+
+def _fast_input(params: dict, cfg: DualARConfig, x: jax.Array,
+                slow_normed: jax.Array) -> jax.Array:
+    h = slow_normed if cfg.norm_fastlayer_input else x
+    if "fast_project_in" in params:
+        h = h @ params["fast_project_in"]["w"].T + params["fast_project_in"]["b"]
+    return h
+
+
+def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
+                     cache: KVCache, input_pos: jax.Array,
+                     freqs_table: jax.Array, *, last_only: bool = True,
+                     rope_positions: jax.Array | None = None,
+                     key_valid_from: jax.Array | None = None) -> SlowOut:
+    """Slow-stack forward with KV cache (prefill T>=1 or decode T=1).
+
+    input_pos: scalar int32 — first cache slot written by `inp`.
+    rope_positions: optional (B, T) per-row RoPE positions (left-padded
+    batching); defaults to input_pos + arange(T).
+    key_valid_from: optional (B,) — keys before this slot are masked out
+    (left-pad exclusion).
+    Mirrors ref llama.py:390-466 + DualAR fast_project_in at 818-827.
+    """
+    b, _, t = inp.shape
+    x = embed_tokens(params, cfg, inp)
+    positions = input_pos + jnp.arange(t, dtype=jnp.int32)
+    if rope_positions is None:
+        freqs_cis = jnp.take(freqs_table, positions, axis=0)
+    else:
+        freqs_cis = jnp.take(freqs_table, rope_positions, axis=0)  # (B,T,·,2)
+    s = cache.k.shape[2]
+    key_pos = jnp.arange(s, dtype=jnp.int32)
+    mask = (key_pos[None, :] <= positions[:, None])[None, None]  # (1,1,T,S)
+    if key_valid_from is not None:
+        valid = key_pos[None, :] >= key_valid_from[:, None]      # (B,S)
+        mask = mask & valid[:, None, None, :]
+
+    x, cache = run_stack(params["layers"], cfg.slow_attn, cfg.norm_eps, x,
+                         freqs_cis, mask, cache, input_pos)
+    if last_only and t > 1:
+        x = x[:, -1:, :]
+    slow_normed = rms_norm(x, params["norm"], cfg.norm_eps)
+    logits = _token_logits(params, cfg, slow_normed)
+    hidden = _fast_input(params, cfg, x, slow_normed)
+    return SlowOut(logits=logits, hidden=hidden, cache=cache)
+
+
+def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
+                          fast_cache: KVCache, input_pos: jax.Array,
+                          fast_freqs_table: jax.Array):
+    """One fast-head step at codebook position `input_pos` (ref llama.py:798-816).
+    x: (B, fast_dim). Returns (codebook_logits (B, codebook_size), new_cache)."""
+    x = x[:, None, :]  # (B, 1, D)
+    freqs_cis = jax.lax.dynamic_slice_in_dim(fast_freqs_table, input_pos, 1, axis=0)
+    key_pos = jnp.arange(cfg.num_codebooks, dtype=jnp.int32)
+    mask = (key_pos <= input_pos)[None, None, None]  # (1,1,1,K)
+    x, fast_cache = run_stack(params["fast_layers"], cfg.fast_attn, cfg.norm_eps,
+                              x, freqs_cis, mask, fast_cache, input_pos)
+    x = rms_norm(x, params["fast_norm"], cfg.norm_eps)
+    logits = x[:, 0, :] @ params["fast_output"].T
+    return logits, fast_cache
+
+
+class TrainOut(NamedTuple):
+    token_logits: jax.Array      # (B, T, vocab)
+    codebook_logits: jax.Array   # (B, T, K, codebook_size)
+
+
+def forward_train(params: dict, cfg: DualARConfig, inp: jax.Array,
+                  labels: jax.Array | None = None,
+                  key_padding_mask: jax.Array | None = None,
+                  remat: bool = True) -> TrainOut:
+    """Teacher-forced forward for training (ref llama.py:723-796).
+
+    TPU-first deviation: the reference gathers hidden states at semantic
+    positions (data-dependent shape, llama.py:752-779); we instead run the
+    fast head over *every* position with static shapes and let the loss mask
+    select semantic positions — on speech data most positions are semantic, so
+    the extra FLOPs are small and XLA keeps one fused program.
+
+    labels: (B, K+1, T) used for teacher-forcing fast-head inputs; defaults to
+    `inp` codes when None. Codebook k>=1 conditions on codes[..., :k].
+    """
+    b, _, t = inp.shape
+    x = embed_tokens(params, cfg, inp)
+    freqs_cis = precompute_freqs_cis(t, cfg.head_dim, cfg.rope_base)
+    q_pos = jnp.arange(t)
+    causal = (q_pos[None, :] <= q_pos[:, None])[None, None]  # (1,1,T,T)
+    if key_padding_mask is not None:
+        # key_padding_mask: (B, T) True at PAD positions (ref llama.py:360-366)
+        mask = causal & (~key_padding_mask)[:, None, None, :]
+    else:
+        mask = jnp.broadcast_to(causal, (b, 1, t, t))
+
+    x, _ = run_stack(params["layers"], cfg.slow_attn, cfg.norm_eps, x,
+                     freqs_cis, mask, remat=remat)
+    slow_normed = rms_norm(x, params["norm"], cfg.norm_eps)
+    token_logits = _token_logits(params, cfg, slow_normed)
+    h = _fast_input(params, cfg, x, slow_normed)  # (B, T, fast_dim)
+
+    # Fast stack over all positions: fold T into batch.
+    src = labels if labels is not None else inp
+    codes = jnp.clip(src[:, 1:, :], 0, cfg.codebook_size - 1)  # (B, K, T)
+    code_emb = jnp.take(params["fast_embeddings"], codes[:, :-1, :], axis=0)
+    # fast input sequence: [h, emb(c_0), ..., emb(c_{K-2})]  (ref llama.py:777-779)
+    fast_in = jnp.concatenate([h[:, None, :, :],
+                               code_emb.astype(h.dtype)], axis=1)  # (B,K,T,Df)
+    fast_in = fast_in.transpose(0, 2, 1, 3).reshape(b * t, cfg.num_codebooks, -1)
+
+    k = cfg.num_codebooks
+    fast_freqs = precompute_freqs_cis(k, cfg.fast_head_dim, cfg.rope_base)
+    kq = jnp.arange(k)
+    fmask = (kq[None, :] <= kq[:, None])[None, None]
+    fx, _ = run_stack(params["fast_layers"], cfg.fast_attn, cfg.norm_eps,
+                      fast_in, fast_freqs, fmask, remat=remat)
+    fx = rms_norm(fx, params["fast_norm"], cfg.norm_eps)
+    codebook_logits = fx @ params["fast_output"].T  # (B*T, K, cbs)
+    codebook_logits = codebook_logits.reshape(b, t, k, cfg.codebook_size)
+    return TrainOut(token_logits=token_logits, codebook_logits=codebook_logits)

@@ -1,0 +1,91 @@
+"""Fused top-k / top-p / temperature sampling + RAS (Repetition-Aware Sampling).
+
+Exact-semantics TPU redesign of the reference sampler
+(/root/reference/fish_speech/models/text2semantic/inference.py:43-93,120-144):
+
+The reference sorts the *full* vocabulary, cumsums softmax probabilities, and
+scatters a keep-mask back — O(V log V) work per step. Observe that the joint
+top-p/top-k mask only ever keeps indices inside the top-`top_k` entries, so:
+
+  1. one `logsumexp` over the vocab gives the exact full-softmax denominator,
+  2. `lax.top_k` (O(V log k)) extracts the only candidates that can survive,
+  3. the top-p cumulative mask, temperature, and Gumbel-max draw all happen on
+     the tiny (top_k,)-sized candidate set.
+
+This matches the reference's distribution exactly (same mask, same
+renormalization) at a fraction of the memory traffic — no full-vocab sort, no
+scatter. Gumbel-max replicates `multinomial_sample_one_no_sync`
+(argmax of probs/(-log u) with u~U(0,1)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+RAS_WIN_SIZE = 10     # ref inference.py:49
+RAS_HIGH_TEMP = 1.0   # ref inference.py:50
+RAS_HIGH_TOP_P = 0.9  # ref inference.py:51
+
+
+def sample_one(key: jax.Array, logits: jax.Array, temperature: jax.Array,
+               top_p: jax.Array, top_k: int) -> jax.Array:
+    """Sample one token per row. logits: (B, V) fp32. Returns (B,) int32."""
+    logits = logits.astype(jnp.float32)
+    z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)          # full softmax Z
+    vals, idx = jax.lax.top_k(logits, top_k)                       # (B, k) desc
+    cum = jnp.cumsum(jnp.exp(vals - z), axis=-1)
+    remove = cum > top_p
+    remove = remove.at[:, 0].set(False)                            # always keep top-1
+    cand = jnp.where(remove, -jnp.inf, vals)
+    cand = cand / jnp.clip(temperature, 1e-5, None)
+    probs = jax.nn.softmax(cand, axis=-1)
+    u = jax.random.uniform(key, probs.shape, minval=jnp.finfo(jnp.float32).tiny,
+                           maxval=1.0)
+    choice = jnp.argmax(probs / -jnp.log(u), axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def greedy_one(logits: jax.Array) -> jax.Array:
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("top_k", "greedy"))
+def sample_token(key: jax.Array, logits: jax.Array, temperature: jax.Array,
+                 top_p: jax.Array, top_k: int = 30, greedy: bool = False) -> jax.Array:
+    if greedy:
+        return greedy_one(logits)
+    return sample_one(key, logits, temperature, top_p, top_k)
+
+
+def ras_select(token_normal: jax.Array, token_high: jax.Array,
+               prev_window: jax.Array, semantic_begin: int,
+               semantic_end: int) -> jax.Array:
+    """Repetition-aware fallback (ref inference.py:134-144), branch-free.
+
+    token_*: (B,); prev_window: (B, W) of recent main tokens.
+    Use the high-temperature sample iff the normal one is a semantic token
+    already present in the window.
+    """
+    in_window = jnp.any(prev_window == token_normal[:, None], axis=-1)
+    is_semantic = (token_normal >= semantic_begin) & (token_normal <= semantic_end)
+    return jnp.where(in_window & is_semantic, token_high, token_normal)
+
+
+def push_window(prev_window: jax.Array, token: jax.Array) -> jax.Array:
+    """Roll the RAS window left and insert `token` at the end (ref 227-229)."""
+    return jnp.concatenate([prev_window[:, 1:], token[:, None]], axis=-1)
+
+
+def semantic_logit_bias(vocab_size: int, semantic_begin: int, semantic_end: int,
+                        im_end_id: int) -> jax.Array:
+    """(V,) additive bias: 0 inside the semantic range + im_end, -inf outside
+    (constrained decoding; ref inference.py:308-320)."""
+    import numpy as np
+
+    bias = np.full((vocab_size,), -np.inf, dtype=np.float32)
+    bias[semantic_begin:semantic_end + 1] = 0.0
+    bias[im_end_id] = 0.0
+    return jnp.asarray(bias)

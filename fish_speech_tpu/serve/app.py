@@ -1,0 +1,276 @@
+"""HTTP serving layer (aiohttp) matching the reference API surface.
+
+Routes mirror /root/reference/tools/server/views.py:58-480:
+  GET  /v1/health
+  POST /v1/tts                    (msgpack or JSON; wav/pcm, buffered or chunked)
+  POST /v1/vqgan/encode           audio bytes -> RVQ codes
+  POST /v1/vqgan/decode           RVQ codes  -> PCM f16 bytes
+  POST /v1/references/add         save a voice reference
+  GET  /v1/references/list
+  DELETE /v1/references/delete
+
+Concurrency model: the reference dedicates one model-owner thread fed by a
+queue (inference.py:748-799). Here the same role is played by a
+single-worker executor — JAX dispatch for one request at a time, while the
+asyncio loop streams bytes to any number of clients. Batched multi-request
+decoding lands with the continuous-batching scheduler (engine/) in a later
+round.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+from concurrent.futures import ThreadPoolExecutor
+
+import msgpack
+import numpy as np
+from aiohttp import web
+
+from ..engine.generate import GenerateLongRequest, TTSEngine
+from .references import ReferenceStore
+from .schema import (
+    AddReferenceRequest,
+    ServeTTSRequest,
+    ServeVQGANDecodeRequest,
+    ServeVQGANEncodeRequest,
+)
+from .wav import decode_audio_bytes, encode_wav, float_to_pcm16, wav_chunk_header
+
+
+async def _parse_body(request: web.Request, model_cls):
+    ctype = request.content_type
+    raw = await request.read()
+    if ctype == "application/msgpack":
+        data = msgpack.unpackb(raw, raw=False)
+    else:
+        data = json.loads(raw)
+    return model_cls.model_validate(data)
+
+
+def _json_default(o):
+    if isinstance(o, bytes):
+        import base64
+
+        return base64.b64encode(o).decode()
+    raise TypeError(f"unserializable: {type(o)}")
+
+
+def _respond(request: web.Request, payload: dict) -> web.Response:
+    accept = request.headers.get("accept", "application/json")
+    if "application/msgpack" in accept:
+        return web.Response(body=msgpack.packb(payload),
+                            content_type="application/msgpack")
+    return web.json_response(
+        text=json.dumps(payload, default=_json_default))
+
+
+class TTSApp:
+    def __init__(self, engine: TTSEngine, ref_store: ReferenceStore | None = None,
+                 api_key: str | None = None):
+        self.engine = engine
+        self.ref_store = ref_store
+        self.api_key = api_key
+        # single model-owner worker: serializes all device work
+        self.executor = ThreadPoolExecutor(max_workers=1,
+                                           thread_name_prefix="model-worker")
+
+    async def _run(self, fn, *args):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(self.executor, fn, *args)
+
+    # -- middleware --------------------------------------------------------
+    @web.middleware
+    async def auth_middleware(self, request: web.Request, handler):
+        if self.api_key is not None and request.path.startswith("/v1/"):
+            token = request.headers.get("Authorization", "")
+            if token != f"Bearer {self.api_key}":
+                return web.json_response({"error": "Invalid token"}, status=401)
+        return await handler(request)
+
+    @web.middleware
+    async def error_middleware(self, request: web.Request, handler):
+        """Map errors to clean JSON (ref tools/server/exception_handler.py)."""
+        import pydantic
+
+        try:
+            return await handler(request)
+        except web.HTTPException:
+            raise
+        except pydantic.ValidationError as e:
+            return web.json_response(
+                {"error": "validation error", "detail": e.errors(
+                    include_url=False, include_input=False)}, status=422)
+        except (json.JSONDecodeError, ValueError, msgpack.exceptions.UnpackException) as e:
+            return web.json_response(
+                {"error": "malformed request body", "detail": str(e)}, status=400)
+        except Exception as e:  # pragma: no cover
+            return web.json_response(
+                {"error": type(e).__name__, "detail": str(e)}, status=500)
+
+    # -- routes ------------------------------------------------------------
+    async def health(self, request: web.Request) -> web.Response:
+        return _respond(request, {"status": "ok"})
+
+    async def vqgan_encode(self, request: web.Request) -> web.Response:
+        req = await _parse_body(request, ServeVQGANEncodeRequest)
+
+        def work():
+            tokens = []
+            for audio in req.audios:
+                wav = decode_audio_bytes(audio, self.engine.codec_cfg.sample_rate)
+                tokens.append(self.engine.encode_reference(wav).tolist())
+            return tokens
+
+        tokens = await self._run(work)
+        return _respond(request, {"tokens": tokens})
+
+    async def vqgan_decode(self, request: web.Request) -> web.Response:
+        req = await _parse_body(request, ServeVQGANDecodeRequest)
+
+        def work():
+            audios = []
+            for codes in req.tokens:
+                wav = self.engine.decode_codes(np.asarray(codes, dtype=np.int32))
+                audios.append(np.asarray(wav, dtype=np.float16).tobytes())
+            return audios
+
+        audios = await self._run(work)
+        return _respond(request, {"audios": audios})
+
+    async def tts(self, request: web.Request) -> web.StreamResponse:
+        req = await _parse_body(request, ServeTTSRequest)
+        sample_rate = (self.engine.codec_cfg.sample_rate
+                       if self.engine.codec_cfg else 44100)
+
+        prompt_text: list[str] | None = None
+        prompt_tokens: list[np.ndarray] | None = None
+        if req.reference_id and self.ref_store is not None:
+            loaded = await self._run(
+                self.ref_store.load_by_id, req.reference_id,
+                req.use_memory_cache == "on")
+            prompt_text, prompt_tokens = loaded.texts, loaded.codes_list
+        elif req.references:
+            prompt_text, prompt_tokens = [], []
+            for ref in req.references:
+                prompt_text.append(ref.text)
+                prompt_tokens.append(await self._run(
+                    self.ref_store.encode_inline
+                    if self.ref_store else self._inline_encode, ref.audio))
+
+        text = req.text
+        if req.normalize:
+            from ..text.clean import clean_text
+            text = clean_text(text)
+
+        gen_req = GenerateLongRequest(
+            text=text,
+            max_new_tokens=req.max_new_tokens,
+            top_p=req.top_p,
+            temperature=req.temperature,
+            chunk_length=req.chunk_length,
+            prompt_text=prompt_text,
+            prompt_tokens=prompt_tokens,
+            seed=req.seed if req.seed is not None else 42,
+        )
+
+        if req.streaming:
+            resp = web.StreamResponse(status=200, headers={
+                "Content-Type": "audio/wav" if req.format == "wav"
+                else "application/octet-stream",
+                "Content-Disposition": "attachment; filename=audio.wav",
+            })
+            await resp.prepare(request)
+            if req.format == "wav":
+                await resp.write(wav_chunk_header(sample_rate=sample_rate))
+
+            loop = asyncio.get_running_loop()
+            queue: asyncio.Queue = asyncio.Queue()
+
+            def produce():
+                try:
+                    for r in self.engine.generate_long(gen_req):
+                        if r.action == "sample":
+                            wav = self.engine.decode_codes(r.codes)
+                            loop.call_soon_threadsafe(
+                                queue.put_nowait, float_to_pcm16(wav))
+                    loop.call_soon_threadsafe(queue.put_nowait, None)
+                except Exception as e:  # surface errors to the stream consumer
+                    loop.call_soon_threadsafe(queue.put_nowait, e)
+
+            fut = loop.run_in_executor(self.executor, produce)
+            while True:
+                chunk = await queue.get()
+                if chunk is None:
+                    break
+                if isinstance(chunk, Exception):
+                    raise web.HTTPInternalServerError(text=str(chunk))
+                await resp.write(chunk)
+            await fut
+            await resp.write_eof()
+            return resp
+
+        def work():
+            wav = self.engine.tts(gen_req)
+            return wav
+
+        wav = await self._run(work)
+        if req.format == "pcm":
+            return web.Response(body=float_to_pcm16(wav),
+                                content_type="application/octet-stream")
+        return web.Response(body=encode_wav(wav, sample_rate),
+                            content_type="audio/wav")
+
+    def _inline_encode(self, audio_bytes: bytes) -> np.ndarray:
+        wav = decode_audio_bytes(audio_bytes, self.engine.codec_cfg.sample_rate)
+        return self.engine.encode_reference(wav)
+
+    async def references_add(self, request: web.Request) -> web.Response:
+        req = await _parse_body(request, AddReferenceRequest)
+        if self.ref_store is None:
+            return web.json_response({"success": False,
+                                      "message": "no reference store"}, status=500)
+        await self._run(self.ref_store.add, req.id, req.audio, req.text)
+        return _respond(request, {"success": True, "message": "Reference added",
+                                  "reference_id": req.id})
+
+    async def references_list(self, request: web.Request) -> web.Response:
+        ids = self.ref_store.list_ids() if self.ref_store else []
+        return _respond(request, {"success": True, "reference_ids": ids,
+                                  "message": "Success"})
+
+    async def references_delete(self, request: web.Request) -> web.Response:
+        raw = await request.read()
+        try:
+            data = json.loads(raw)
+            ref_id = data["reference_id"] if isinstance(data, dict) else str(data)
+        except Exception:
+            ref_id = raw.decode().strip('"')
+        ok = self.ref_store.delete(ref_id) if self.ref_store else False
+        return _respond(request, {
+            "success": ok,
+            "message": "Reference deleted" if ok else "Reference not found",
+            "reference_id": ref_id})
+
+    def build(self) -> web.Application:
+        app = web.Application(
+            middlewares=[self.error_middleware, self.auth_middleware],
+            client_max_size=256 * 1024 * 1024)
+        app.router.add_get("/v1/health", self.health)
+        app.router.add_post("/v1/health", self.health)
+        app.router.add_post("/v1/tts", self.tts)
+        app.router.add_post("/v1/vqgan/encode", self.vqgan_encode)
+        app.router.add_post("/v1/vqgan/decode", self.vqgan_decode)
+        app.router.add_post("/v1/references/add", self.references_add)
+        app.router.add_get("/v1/references/list", self.references_list)
+        app.router.add_delete("/v1/references/delete", self.references_delete)
+        return app
+
+
+def create_app(engine: TTSEngine, ref_dir: str | None = None,
+               api_key: str | None = None) -> web.Application:
+    store = None
+    if ref_dir is not None and engine.codec_params is not None:
+        store = ReferenceStore(ref_dir, engine.encode_reference,
+                               engine.codec_cfg.sample_rate)
+    return TTSApp(engine, store, api_key).build()

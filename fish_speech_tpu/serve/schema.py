@@ -1,0 +1,89 @@
+"""API schemas mirroring the reference pydantic models
+(/root/reference/fish_speech/utils/schema.py:42-138) so existing fish-speech
+clients work unchanged against this server."""
+
+from __future__ import annotations
+
+import base64
+from typing import Literal
+
+from pydantic import BaseModel, Field, model_validator
+from typing_extensions import Annotated
+
+
+class ServeVQGANEncodeRequest(BaseModel):
+    audios: list[bytes]
+
+
+class ServeVQGANEncodeResponse(BaseModel):
+    tokens: list[list[list[int]]]
+
+
+class ServeVQGANDecodeRequest(BaseModel):
+    tokens: list[list[list[int]]]
+
+
+class ServeVQGANDecodeResponse(BaseModel):
+    audios: list[bytes]  # PCM float16
+
+
+class ServeReferenceAudio(BaseModel):
+    audio: bytes
+    text: str
+
+    @model_validator(mode="before")
+    def decode_audio(cls, values):
+        audio = values.get("audio")
+        if isinstance(audio, str) and len(audio) > 255:
+            try:
+                values["audio"] = base64.b64decode(audio)
+            except Exception:
+                pass
+        return values
+
+    def __repr__(self) -> str:
+        return f"ServeReferenceAudio(text={self.text!r}, audio_size={len(self.audio)})"
+
+
+class ServeTTSRequest(BaseModel):
+    text: str
+    # NOTE: the reference wraps conint() in Annotated metadata, which pydantic
+    # v2 silently ignores (no range enforcement); we use Field so the
+    # documented 100..1000 range is actually validated
+    chunk_length: Annotated[int, Field(ge=100, le=1000)] = 200
+    format: Literal["wav", "pcm", "mp3", "opus"] = "wav"
+    latency: Literal["normal", "balanced"] = "normal"
+    references: list[ServeReferenceAudio] = []
+    reference_id: str | None = None
+    seed: int | None = None
+    use_memory_cache: Literal["on", "off"] = "off"
+    normalize: bool = True
+    streaming: bool = False
+    max_new_tokens: int = 1024
+    top_p: Annotated[float, Field(ge=0.1, le=1.0, strict=True)] = 0.8
+    repetition_penalty: Annotated[float, Field(ge=0.9, le=2.0, strict=True)] = 1.1
+    temperature: Annotated[float, Field(ge=0.1, le=1.0, strict=True)] = 0.8
+
+
+class AddReferenceRequest(BaseModel):
+    id: str = Field(..., min_length=1, max_length=255, pattern=r"^[a-zA-Z0-9\-_ ]+$")
+    audio: bytes
+    text: str = Field(..., min_length=1)
+
+
+class AddReferenceResponse(BaseModel):
+    success: bool
+    message: str
+    reference_id: str
+
+
+class ListReferencesResponse(BaseModel):
+    success: bool
+    reference_ids: list[str]
+    message: str = "Success"
+
+
+class DeleteReferenceResponse(BaseModel):
+    success: bool
+    message: str
+    reference_id: str

@@ -1,0 +1,73 @@
+"""End-to-end engine test on tiny random models: text -> codes -> waveform."""
+
+import numpy as np
+
+import jax
+
+from fish_speech_tpu.codec import init_dac_params, tiny_codec_config
+from fish_speech_tpu.engine import (
+    GenerateLongRequest,
+    TTSEngine,
+    group_turns_into_batches,
+    split_text_by_speaker,
+)
+from fish_speech_tpu.models.config import DualARConfig
+from fish_speech_tpu.models.init import init_dual_ar_params
+from fish_speech_tpu.text import ByteTokenizer
+
+
+def _engine():
+    tok = ByteTokenizer(n_semantic=64)
+    cfg = DualARConfig(
+        vocab_size=tok.vocab_size,
+        n_layer=2, n_head=2, n_local_heads=2, dim=32, head_dim=16,
+        intermediate_size=64, max_seq_len=512,
+        codebook_size=64, num_codebooks=4,
+        semantic_begin_id=tok.semantic_begin_id,
+        semantic_end_id=tok.semantic_end_id,
+        n_fast_layer=1, fast_dim=32, fast_n_head=2, fast_n_local_heads=2,
+        fast_head_dim=16, fast_intermediate_size=64,
+    )
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    ccfg = tiny_codec_config()
+    cparams = init_dac_params(jax.random.key(1), ccfg)
+    return TTSEngine(params, cfg, tok, codec_params=cparams, codec_cfg=ccfg,
+                     cache_len=512)
+
+
+def test_split_and_group():
+    text = "<|speaker:0|>hello there<|speaker:1|>general kenobi"
+    turns = split_text_by_speaker(text)
+    assert turns == ["<|speaker:0|>hello there", "<|speaker:1|>general kenobi"]
+    batches = group_turns_into_batches(turns, max_speakers=1, max_bytes=300)
+    assert len(batches) == 2
+    batches = group_turns_into_batches(turns, max_speakers=5, max_bytes=300)
+    assert len(batches) == 1
+
+
+def test_generate_long_end_to_end():
+    engine = _engine()
+    req = GenerateLongRequest(text="hi", max_new_tokens=8, temperature=0.8,
+                              top_p=0.9, seed=0)
+    responses = list(engine.generate_long(req))
+    samples = [r for r in responses if r.action == "sample"]
+    assert len(samples) == 1
+    codes = samples[0].codes
+    assert codes.shape[0] == engine.cfg.num_codebooks
+    assert codes.shape[1] >= 1
+    assert (codes >= 0).all()
+
+    wav = engine.decode_codes(codes)
+    assert wav.ndim == 1
+    assert np.isfinite(wav).all()
+
+
+def test_voice_clone_prompt_path():
+    engine = _engine()
+    ref_codes = np.random.default_rng(0).integers(
+        0, 32, size=(engine.cfg.num_codebooks, 6))
+    req = GenerateLongRequest(
+        text="<|speaker:0|>ok", max_new_tokens=4,
+        prompt_text=["reference"], prompt_tokens=[ref_codes], seed=1)
+    samples = [r for r in engine.generate_long(req) if r.action == "sample"]
+    assert samples[0].codes.shape[0] == engine.cfg.num_codebooks

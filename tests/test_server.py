@@ -1,0 +1,121 @@
+"""HTTP API tests against the aiohttp app with tiny random models."""
+
+import asyncio
+import json
+
+import msgpack
+import numpy as np
+
+import jax
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from fish_speech_tpu.codec import init_dac_params, tiny_codec_config
+from fish_speech_tpu.engine import TTSEngine
+from fish_speech_tpu.models.config import DualARConfig
+from fish_speech_tpu.models.init import init_dual_ar_params
+from fish_speech_tpu.serve.app import create_app
+from fish_speech_tpu.serve.wav import encode_wav
+from fish_speech_tpu.text import ByteTokenizer
+
+
+def _engine():
+    tok = ByteTokenizer(n_semantic=64)
+    cfg = DualARConfig(
+        vocab_size=tok.vocab_size,
+        n_layer=1, n_head=2, n_local_heads=2, dim=32, head_dim=16,
+        intermediate_size=64, max_seq_len=512,
+        codebook_size=64, num_codebooks=4,
+        semantic_begin_id=tok.semantic_begin_id,
+        semantic_end_id=tok.semantic_end_id,
+        n_fast_layer=1, fast_dim=32, fast_n_head=2, fast_n_local_heads=2,
+        fast_head_dim=16, fast_intermediate_size=64,
+    )
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    ccfg = tiny_codec_config()
+    cparams = init_dac_params(jax.random.key(1), ccfg)
+    return TTSEngine(params, cfg, tok, codec_params=cparams, codec_cfg=ccfg,
+                     cache_len=512)
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_server_endpoints(tmp_path):
+    engine = _engine()
+    app = create_app(engine, ref_dir=str(tmp_path / "refs"))
+
+    async def scenario():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # health
+            r = await client.get("/v1/health")
+            assert r.status == 200
+            assert (await r.json())["status"] == "ok"
+
+            # tts (json, buffered wav)
+            r = await client.post("/v1/tts", json={
+                "text": "hi", "max_new_tokens": 4, "chunk_length": 200})
+            assert r.status == 200
+            body = await r.read()
+            assert body[:4] == b"RIFF"
+
+            # tts (msgpack, pcm)
+            payload = msgpack.packb({"text": "yo", "max_new_tokens": 4,
+                                     "format": "pcm", "chunk_length": 200})
+            r = await client.post(
+                "/v1/tts", data=payload,
+                headers={"Content-Type": "application/msgpack"})
+            assert r.status == 200
+            pcm = await r.read()
+            assert len(pcm) > 0 and len(pcm) % 2 == 0
+
+            # tts streaming
+            r = await client.post("/v1/tts", json={
+                "text": "stream me", "max_new_tokens": 4,
+                "streaming": True, "chunk_length": 200})
+            assert r.status == 200
+            stream_body = await r.read()
+            assert stream_body[:4] == b"RIFF"
+
+            # vqgan decode
+            codes = np.zeros((4, 3), dtype=np.int32).tolist()
+            r = await client.post("/v1/vqgan/decode", json={"tokens": [codes]})
+            assert r.status == 200
+            audios = (await r.json())["audios"]
+            assert len(audios) == 1
+
+            # references CRUD
+            wav_bytes = encode_wav(
+                np.zeros(engine.codec_cfg.frame_length * 2, np.float32), 44100)
+            r = await client.post("/v1/references/add", json={
+                "id": "alice", "text": "hello",
+                "audio": __import__("base64").b64encode(wav_bytes).decode()
+                         + "=" * 0})
+            # bytes field via json needs base64 > 255 chars; use msgpack instead
+            if r.status != 200:
+                r = await client.post(
+                    "/v1/references/add",
+                    data=msgpack.packb({"id": "alice", "text": "hello",
+                                        "audio": wav_bytes}),
+                    headers={"Content-Type": "application/msgpack"})
+            assert r.status == 200
+
+            r = await client.get("/v1/references/list")
+            assert (await r.json())["reference_ids"] == ["alice"]
+
+            # tts with reference id
+            r = await client.post("/v1/tts", json={
+                "text": "cloned", "max_new_tokens": 4,
+                "reference_id": "alice", "chunk_length": 200})
+            assert r.status == 200
+
+            r = await client.delete("/v1/references/delete",
+                                    data=json.dumps({"reference_id": "alice"}))
+            assert (await r.json())["success"] is True
+        finally:
+            await client.close()
+
+    _run(scenario())

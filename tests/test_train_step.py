@@ -1,0 +1,71 @@
+"""Training-step tests: loss semantics, grads, optimizer wiring."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fish_speech_tpu.models.config import tiny_dual_ar_config
+from fish_speech_tpu.models.init import init_dual_ar_params
+from fish_speech_tpu.train import (
+    TrainBatch,
+    cosine_warmup_schedule,
+    dual_ar_loss,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _batch(cfg, b=2, t=16, seed=0):
+    rng = np.random.default_rng(seed)
+    tokens = rng.integers(0, cfg.vocab_size, size=(b, 1, t))
+    tokens[:, 0, t // 2:] = rng.integers(cfg.semantic_begin_id,
+                                         cfg.semantic_end_id + 1,
+                                         size=(b, t - t // 2))
+    codes = rng.integers(0, cfg.codebook_size, size=(b, cfg.num_codebooks, t))
+    inputs = np.concatenate([tokens, codes], axis=1).astype(np.int32)
+    labels = inputs.copy()
+    labels[:, :, : t // 4] = -100  # ignore a prefix
+    masks = np.zeros((b, t), dtype=bool)
+    masks[:, -2:] = True  # padded tail
+    return TrainBatch(inputs=jnp.asarray(inputs), labels=jnp.asarray(labels),
+                      attention_masks=jnp.asarray(masks))
+
+
+def test_loss_finite_and_components():
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    loss, metrics = dual_ar_loss(params, cfg, _batch(cfg), remat=False)
+    assert np.isfinite(float(loss))
+    assert float(metrics["base_loss"]) > 0
+    assert float(metrics["semantic_loss"]) > 0
+    assert 0.0 <= float(metrics["top_5_accuracy"]) <= 1.0
+
+
+def test_train_step_updates_params():
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    optimizer = make_optimizer(params, cosine_warmup_schedule(1e-3, 2, 10))
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, optimizer, remat=False)
+
+    before = float(jnp.sum(jnp.abs(params["layers"]["attention"]["wqkv"])))
+    params2, opt_state, metrics = step(params, opt_state, _batch(cfg))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+    # LR is 0 at warmup step 0 (matches the reference lambda schedules);
+    # params must move by step 2
+    params3, opt_state, metrics2 = step(params2, opt_state, _batch(cfg, seed=1))
+    after = float(jnp.sum(jnp.abs(params3["layers"]["attention"]["wqkv"])))
+    assert np.isfinite(float(metrics2["loss"]))
+    assert after != before
+
+
+def test_remat_matches_no_remat():
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    batch = _batch(cfg)
+    l1, _ = dual_ar_loss(params, cfg, batch, remat=False)
+    l2, _ = dual_ar_loss(params, cfg, batch, remat=True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)

@@ -1,0 +1,97 @@
+"""Launch the TTS HTTP server (ref /root/reference/tools/api_server.py).
+
+With --checkpoint/--codec-checkpoint absent, serves tiny random-weight models
+(demo/smoke mode) so the full API surface is drivable without assets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_engine(args):
+    import jax
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.engine import TTSEngine
+    from fish_speech_tpu.text import ByteTokenizer, load_tokenizer
+
+    if args.checkpoint:
+        from fish_speech_tpu.models.config import DualARConfig
+        from fish_speech_tpu.models.init import convert_dual_ar_state_dict
+        from fish_speech_tpu.text.tokenizer import SEMANTIC_TOKEN_TEMPLATE
+        from fish_speech_tpu.utils.checkpoint import load_torch_lm_checkpoint
+
+        cfg = DualARConfig.from_json(args.checkpoint)
+        tokenizer = load_tokenizer(args.checkpoint)
+        cfg = cfg.with_semantic_range(tokenizer.semantic_begin_id,
+                                      tokenizer.semantic_end_id)
+        sd = load_torch_lm_checkpoint(args.checkpoint)
+        params = convert_dual_ar_state_dict(sd, cfg, dtype=jnp.bfloat16)
+    else:
+        from fish_speech_tpu.models.config import DualARConfig
+        from fish_speech_tpu.models.init import init_dual_ar_params
+
+        tokenizer = ByteTokenizer(n_semantic=64)
+        cfg = DualARConfig(
+            vocab_size=tokenizer.vocab_size,
+            n_layer=2, n_head=2, n_local_heads=2, dim=64, head_dim=32,
+            intermediate_size=128, max_seq_len=2048,
+            codebook_size=64, num_codebooks=4,
+            semantic_begin_id=tokenizer.semantic_begin_id,
+            semantic_end_id=tokenizer.semantic_end_id,
+            n_fast_layer=1, fast_dim=64, fast_n_head=2, fast_n_local_heads=2,
+            fast_head_dim=32, fast_intermediate_size=128)
+        params = init_dual_ar_params(jax.random.key(0), cfg)
+
+    if args.codec_checkpoint:
+        from fish_speech_tpu.codec import convert_dac_state_dict, s2_pro_codec_config
+        from fish_speech_tpu.utils.checkpoint import load_torch_codec_checkpoint
+
+        codec_cfg = s2_pro_codec_config()
+        codec_params = convert_dac_state_dict(
+            load_torch_codec_checkpoint(args.codec_checkpoint), codec_cfg)
+    else:
+        from fish_speech_tpu.codec import init_dac_params, tiny_codec_config
+
+        codec_cfg = tiny_codec_config()
+        codec_params = init_dac_params(jax.random.key(1), codec_cfg)
+
+    return TTSEngine(params, cfg, tokenizer, codec_params=codec_params,
+                     codec_cfg=codec_cfg, cache_len=args.cache_len)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--listen", default="127.0.0.1:8080")
+    parser.add_argument("--checkpoint", default=None,
+                        help="Dual-AR checkpoint dir (reference layout)")
+    parser.add_argument("--codec-checkpoint", default=None,
+                        help="codec.pth path")
+    parser.add_argument("--references-dir", default="references")
+    parser.add_argument("--api-key", default=None)
+    parser.add_argument("--cache-len", type=int, default=2048)
+    args = parser.parse_args()
+
+    from aiohttp import web
+
+    from fish_speech_tpu.serve.app import create_app
+
+    engine = build_engine(args)
+    # warm-up: compile the decode path before accepting traffic
+    # (ref tools/server/model_manager.py:80-93)
+    from fish_speech_tpu.engine import GenerateLongRequest
+
+    list(engine.generate_long(GenerateLongRequest(text="warmup", max_new_tokens=2)))
+
+    app = create_app(engine, ref_dir=args.references_dir, api_key=args.api_key)
+    host, port = args.listen.rsplit(":", 1)
+    web.run_app(app, host=host, port=int(port))
+
+
+if __name__ == "__main__":
+    main()
