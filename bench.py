@@ -38,14 +38,23 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         cfg = s2_pro_lm_config(max_seq_len=2048)
-        batch, cache_len, warmup, iters = 8, 2048, 5, 40
+        batch = int(os.environ.get("BENCH_BATCH", "32"))
+        cache_len = int(os.environ.get("BENCH_CACHE", "512"))
+        warmup, iters = 1, 3
+        steps_per_call = 32
     else:  # CPU smoke fallback
         from __graft_entry__ import _entry_config
         cfg = _entry_config()
-        batch, cache_len, warmup, iters = 2, 256, 1, 4
+        batch, cache_len, warmup, iters = 2, 256, 1, 2
+        steps_per_call = 4
 
     key = jax.random.key(0)
     params = init_dual_ar_params(key, cfg, dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_QUANT") == "1":
+        from fish_speech_tpu.ops.quant import quantize_lm_params
+
+        params = jax.jit(quantize_lm_params)(params)
+        print("# int8 weight-only quantized", file=sys.stderr)
     cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,
                            cfg.head_dim)
     freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
@@ -64,12 +73,23 @@ def main():
 
     from functools import partial
 
+    # Run steps_per_call decode steps inside ONE jitted program so the host
+    # (and the axon tunnel) dispatches once per chunk, exactly like the
+    # production while_loop in models/decode.py.
     @partial(jax.jit, donate_argnums=(1, 2))
-    def step(params, cache_k, cache_v, cur, pos, key):
-        col, new_cache = decode_one_token(
-            params, cfg, cur, KVCache(cache_k, cache_v), pos, freqs,
-            fast_freqs, bias, key, sampling, prev_win, top_k=30, greedy=False)
-        return new_cache.k, new_cache.v, col[:, :, None]
+    def run_chunk(params, cache_k, cache_v, cur, pos, key):
+        def body(i, carry):
+            ck, cv, cur, key = carry
+            key, sub = jax.random.split(key)
+            col, new_cache = decode_one_token(
+                params, cfg, cur, KVCache(ck, cv), pos + i, freqs,
+                fast_freqs, bias, sub, sampling, prev_win,
+                top_k=30, greedy=False)
+            return new_cache.k, new_cache.v, col[:, :, None], key
+
+        ck, cv, cur, key = jax.lax.fori_loop(
+            0, steps_per_call, body, (cache_k, cache_v, cur, key))
+        return ck, cv, cur
 
     cur = jnp.zeros((batch, cfg.num_codebooks + 1, 1), jnp.int32)
     ck, cv = cache.k, cache.v
@@ -78,20 +98,20 @@ def main():
     t_compile = time.perf_counter()
     for i in range(warmup):
         key, sub = jax.random.split(key)
-        ck, cv, cur = step(params, ck, cv, cur, pos, sub)
-        pos = pos + 1
+        ck, cv, cur = run_chunk(params, ck, cv, cur, pos, sub)
+        pos = pos + steps_per_call
     jax.block_until_ready(cur)
     compile_s = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
     for i in range(iters):
         key, sub = jax.random.split(key)
-        ck, cv, cur = step(params, ck, cv, cur, pos, sub)
-        pos = pos + 1
+        ck, cv, cur = run_chunk(params, ck, cv, cur, pos, sub)
+        pos = pos + steps_per_call
     jax.block_until_ready(cur)
     dt = time.perf_counter() - t0
 
-    steps_per_s = iters / dt
+    steps_per_s = iters * steps_per_call / dt
     audio_s_per_s = steps_per_s * batch / FRAME_RATE
     result = {
         "metric": "audio_seconds_per_second_per_chip",

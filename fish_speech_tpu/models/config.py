@@ -57,6 +57,14 @@ class DualARConfig:
 
     initializer_range: float = 0.02
 
+    # XLA schedule knob: unroll factor for the layer scans in the decode path
+    # (weight prefetch overlap); no numerical effect
+    scan_unroll: int = 1
+    # python-unroll the slow stack's layer loop in the cached decode path:
+    # in-place per-layer cache updates (the scan path double-buffers the KV
+    # cache); longer compile, no numerical effect
+    unrolled_decode: bool = False
+
     def __post_init__(self):
         s = lambda k, v: object.__setattr__(self, k, v)
         if self.n_local_heads == -1:
@@ -187,6 +195,7 @@ def s2_pro_lm_config(max_seq_len: int = 4096) -> DualARConfig:
         fast_head_dim=64,
         fast_intermediate_size=3072,
         fast_attention_qk_norm=False,
+        unrolled_decode=True,
     )
 
 

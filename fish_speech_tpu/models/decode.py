@@ -23,11 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import (
-    RAS_HIGH_TEMP,
-    RAS_HIGH_TOP_P,
     RAS_WIN_SIZE,
     push_window,
     ras_select,
+    sample_main_and_high,
     sample_one,
     greedy_one,
 )
@@ -86,17 +85,16 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
     logits = out.logits[:, -1, :].astype(jnp.float32) + bias  # (B, V)
     hidden = out.hidden[:, -1, :]
 
-    k_norm, k_high, k_fast = jax.random.split(key, 3)
-    token_normal = _maybe_sample(k_norm, logits, sampling.temperature,
-                                 sampling.top_p, top_k, greedy)
-    if prev_window is not None:
-        token_high = _maybe_sample(
-            k_high, logits, jnp.float32(RAS_HIGH_TEMP),
-            jnp.float32(RAS_HIGH_TOP_P), top_k, greedy)
+    k_norm, k_fast = jax.random.split(key, 2)
+    if prev_window is not None and not greedy:
+        token_normal, token_high = sample_main_and_high(
+            k_norm, logits, sampling.temperature, sampling.top_p, top_k)
         token = ras_select(token_normal, token_high, prev_window,
                            cfg.semantic_begin_id, cfg.semantic_end_id)
     else:
-        token = token_normal
+        # greedy: high-temp fallback would equal the normal draw, skip RAS
+        token = _maybe_sample(k_norm, logits, sampling.temperature,
+                              sampling.top_p, top_k, greedy)
 
     # Fast head: prime position 0 with the slow hidden state, then emit the
     # residual codebooks autoregressively (ref inference.py:146-174).
@@ -109,7 +107,9 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
 
     def fast_step(carry, idx):
         prev_code, fcache, fkey = carry
-        emb = jnp.take(params["fast_embeddings"], prev_code, axis=0)
+        from ..ops.quant import take_rows
+
+        emb = take_rows(params["fast_embeddings"], prev_code)
         logits_f, fcache = forward_generate_fast(params, cfg, emb, fcache,
                                                  idx, fast_freqs_table)
         fkey, sub = jax.random.split(fkey)
@@ -141,7 +141,9 @@ def generate(params: dict, cfg: DualARConfig, prompt: jax.Array,
     """
     b, cb, t = prompt.shape
     s = cache_len or cfg.max_seq_len
-    dtype = params["embeddings"].dtype
+    from .dual_ar import param_dtype
+
+    dtype = param_dtype(params)
     cache = KVCache.create(cfg.n_layer, b, s, cfg.n_local_heads, cfg.head_dim,
                            dtype=dtype)
     freqs_table = precompute_freqs_cis(s, cfg.head_dim, cfg.rope_base)

@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.quant import as_weight, is_quantized, take_rows
 from .config import AttnDims, DualARConfig
+
+
+def param_dtype(params: dict):
+    emb = params["embeddings"]
+    return jnp.bfloat16 if is_quantized(emb) else emb.dtype
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +89,7 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     """Returns (out, new_cache_k, new_cache_v). mask: (B or 1, 1, Tq, S) bool."""
     b, t, _ = x.shape
     h, hkv, d = ad.n_head, ad.n_local_heads, ad.head_dim
-    qkv = x @ p["wqkv"].T
+    qkv = x @ as_weight(p["wqkv"], x.dtype).T
     if ad.qkv_bias:
         qkv = qkv + p["wqkv_b"]
     q, k, v = jnp.split(qkv, [h * d, h * d + hkv * d], axis=-1)
@@ -117,14 +123,17 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     y = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
     y = y.reshape(b, t, h * d)
-    out = y @ p["wo"].T
+    out = y @ as_weight(p["wo"], x.dtype).T
     if ad.o_bias:
         out = out + p["wo_b"]
     return out, cache_k, cache_v
 
 
 def _ffn(p: dict, x: jax.Array) -> jax.Array:
-    return (jax.nn.silu(x @ p["w1"].T) * (x @ p["w3"].T)) @ p["w2"].T
+    w1 = as_weight(p["w1"], x.dtype)
+    w2 = as_weight(p["w2"], x.dtype)
+    w3 = as_weight(p["w3"], x.dtype)
+    return (jax.nn.silu(x @ w1.T) * (x @ w3.T)) @ w2.T
 
 
 def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
@@ -138,23 +147,43 @@ def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
 
 def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
               mask, cache: KVCache | None = None, input_pos: jax.Array | None = None,
-              remat: bool = False):
-    """Scan the stacked layer params over depth. Returns (x, new_cache)."""
+              remat: bool = False, unroll: int = 1, unrolled: bool = False):
+    """Scan the stacked layer params over depth. Returns (x, new_cache).
+
+    `unroll` trades compile time for schedule quality: unrolled layers let XLA
+    overlap the next layer's weight prefetch with the current layer's compute
+    (decode is weight-bandwidth-bound)."""
     if cache is None:
         def step(h, layer_p):
             out, _, _ = _block(layer_p, ad, eps, h, freqs_cis, mask)
             return out, None
         if remat:
             step = jax.checkpoint(step)
-        x, _ = jax.lax.scan(step, x, layers)
+        x, _ = jax.lax.scan(step, x, layers, unroll=unroll)
         return x, None
+
+    if unrolled:
+        # python-unrolled layer loop: each layer's cache slice is updated with
+        # a static-index dynamic_update_slice on the SAME buffer, which XLA
+        # aliases in place — the scan path below materializes a second full
+        # cache (xs + ys), doubling KV memory at large batch.
+        nk, nv = cache.k, cache.v
+        n_layer = jax.tree.leaves(layers)[0].shape[0]
+        for i in range(n_layer):
+            layer_p = jax.tree.map(lambda a: a[i], layers)
+            x, ck, cv = _block(layer_p, ad, eps, x, freqs_cis, mask,
+                               nk[i], nv[i], input_pos)
+            nk = jax.lax.dynamic_update_index_in_dim(nk, ck, i, 0)
+            nv = jax.lax.dynamic_update_index_in_dim(nv, cv, i, 0)
+        return x, KVCache(nk, nv)
 
     def step(h, xs):
         layer_p, ck, cv = xs
         out, ck, cv = _block(layer_p, ad, eps, h, freqs_cis, mask, ck, cv, input_pos)
         return out, (ck, cv)
 
-    x, (nk, nv) = jax.lax.scan(step, x, (layers, cache.k, cache.v))
+    x, (nk, nv) = jax.lax.scan(step, x, (layers, cache.k, cache.v),
+                               unroll=unroll)
     return x, KVCache(nk, nv)
 
 
@@ -165,18 +194,18 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
 
 def embed_tokens(params: dict, cfg: DualARConfig, inp: jax.Array) -> jax.Array:
     """inp: (B, K+1, T) int32 -> (B, T, D)."""
-    emb_dtype = params["embeddings"].dtype
+    emb_dtype = param_dtype(params)
     codes = inp[:, 1:, :]  # (B, K, T)
     offsets = (jnp.arange(cfg.num_codebooks, dtype=inp.dtype) * cfg.codebook_size)
     idx = codes + offsets[None, :, None]
-    vq_embeds = jnp.take(params["codebook_embeddings"], idx, axis=0)  # (B,K,T,D)
-    vq_sum = jnp.sum(vq_embeds, axis=1)  # (B, T, D)
+    vq_embeds = take_rows(params["codebook_embeddings"], idx)  # (B,K,T,D)
+    vq_sum = jnp.sum(vq_embeds, axis=1).astype(emb_dtype)  # (B, T, D)
 
     tok = inp[:, 0, :]
     is_semantic = (tok >= cfg.semantic_begin_id) & (tok <= cfg.semantic_end_id)
     vq_sum = jnp.where(is_semantic[..., None], vq_sum, jnp.zeros((), emb_dtype))
 
-    x = jnp.take(params["embeddings"], tok, axis=0) + vq_sum
+    x = take_rows(params["embeddings"], tok).astype(emb_dtype) + vq_sum
     if cfg.scale_codebook_embeddings:
         scale = 1.0 / math.sqrt(cfg.num_codebooks + 1)
         x = jnp.where(is_semantic[..., None], x * jnp.asarray(scale, emb_dtype), x)
@@ -196,8 +225,8 @@ class SlowOut(NamedTuple):
 
 def _token_logits(params: dict, cfg: DualARConfig, slow_out: jax.Array) -> jax.Array:
     if cfg.tie_word_embeddings:
-        return slow_out @ params["embeddings"].T
-    return slow_out @ params["output"].T
+        return slow_out @ as_weight(params["embeddings"], slow_out.dtype).T
+    return slow_out @ as_weight(params["output"], slow_out.dtype).T
 
 
 def _fast_input(params: dict, cfg: DualARConfig, x: jax.Array,
@@ -237,7 +266,8 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
         mask = mask & valid[:, None, None, :]
 
     x, cache = run_stack(params["layers"], cfg.slow_attn, cfg.norm_eps, x,
-                         freqs_cis, mask, cache, input_pos)
+                         freqs_cis, mask, cache, input_pos,
+                         unroll=cfg.scan_unroll, unrolled=cfg.unrolled_decode)
     if last_only and t > 1:
         x = x[:, -1:, :]
     slow_normed = rms_norm(x, params["norm"], cfg.norm_eps)
@@ -256,9 +286,10 @@ def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
     key_pos = jnp.arange(cfg.num_codebooks, dtype=jnp.int32)
     mask = (key_pos <= input_pos)[None, None, None]  # (1,1,1,K)
     x, fast_cache = run_stack(params["fast_layers"], cfg.fast_attn, cfg.norm_eps,
-                              x, freqs_cis, mask, fast_cache, input_pos)
+                              x, freqs_cis, mask, fast_cache, input_pos,
+                              unroll=cfg.scan_unroll)
     x = rms_norm(x, params["fast_norm"], cfg.norm_eps)
-    logits = x[:, 0, :] @ params["fast_output"].T
+    logits = x[:, 0, :] @ as_weight(params["fast_output"], x.dtype).T
     return logits, fast_cache
 
 
@@ -302,7 +333,7 @@ def forward_train(params: dict, cfg: DualARConfig, inp: jax.Array,
     # Fast stack over all positions: fold T into batch.
     src = labels if labels is not None else inp
     codes = jnp.clip(src[:, 1:, :], 0, cfg.codebook_size - 1)  # (B, K, T)
-    code_emb = jnp.take(params["fast_embeddings"], codes[:, :-1, :], axis=0)
+    code_emb = take_rows(params["fast_embeddings"], codes[:, :-1, :])
     # fast input sequence: [h, emb(c_0), ..., emb(c_{K-2})]  (ref llama.py:777-779)
     fast_in = jnp.concatenate([h[:, None, :, :],
                                code_emb.astype(h.dtype)], axis=1)  # (B,K,T,Df)
@@ -315,6 +346,6 @@ def forward_train(params: dict, cfg: DualARConfig, inp: jax.Array,
     fx, _ = run_stack(params["fast_layers"], cfg.fast_attn, cfg.norm_eps,
                       fast_in, fast_freqs, fmask, remat=remat)
     fx = rms_norm(fx, params["fast_norm"], cfg.norm_eps)
-    codebook_logits = fx @ params["fast_output"].T  # (B*T, K, cbs)
+    codebook_logits = fx @ as_weight(params["fast_output"], fx.dtype).T  # (B*T, K, cbs)
     codebook_logits = codebook_logits.reshape(b, t, k, cfg.codebook_size)
     return TrainOut(token_logits=token_logits, codebook_logits=codebook_logits)

@@ -1,0 +1,70 @@
+"""Int8 weight-only quantization (per-output-channel symmetric).
+
+TPU-native equivalent of the reference PTQ tooling
+(/root/reference/tools/llama/quantize.py:190-297, WeightOnlyInt8*): weights
+live in HBM as int8 + per-channel fp scales (2x less decode bandwidth — the
+4B decode loop is weight-bandwidth-bound), dequantized on the fly; XLA fuses
+the convert+scale into the consuming matmul's operand read.
+
+A quantized weight is the pytree node {"q": int8[..., out, in],
+"s": f32[..., out]}. `as_weight`/`take_rows` below are the only accessors the
+model uses, so plain and quantized checkpoints share every code path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jax.Array) -> dict:
+    """(..., out, in) -> {"q": int8, "s": f32 (..., out)}."""
+    wf = jnp.asarray(w, jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[..., None]), -128, 127).astype(jnp.int8)
+    return {"q": q, "s": scale}
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, dict) and "q" in w and "s" in w
+
+
+def as_weight(w, dtype=jnp.bfloat16):
+    """Materialize (virtually — XLA fuses into the consumer) a usable weight."""
+    if is_quantized(w):
+        return w["q"].astype(dtype) * w["s"][..., None].astype(dtype)
+    return w
+
+
+def take_rows(w, idx, dtype=jnp.bfloat16):
+    """Embedding-style row gather that dequantizes only the gathered rows."""
+    if is_quantized(w):
+        rows = jnp.take(w["q"], idx, axis=0).astype(dtype)
+        scales = jnp.take(w["s"], idx, axis=0).astype(dtype)
+        return rows * scales[..., None]
+    return jnp.take(w, idx, axis=0)
+
+
+_LM_QUANT_LEAVES = {"wqkv", "wo", "w1", "w2", "w3"}
+_LM_QUANT_TOP = {"embeddings", "codebook_embeddings", "fast_embeddings",
+                 "output", "fast_output"}
+
+
+def quantize_lm_params(params: dict) -> dict:
+    """Quantize the Dual-AR parameter pytree's large matrices; norms, biases
+    and small projections are cast to bf16 (a quantized model is a deployment
+    artifact — uniform activation dtype keeps scan carries consistent)."""
+
+    def visit(path, w):
+        keys = [getattr(p, "key", None) for p in path]
+        leaf = keys[-1]
+        target = leaf in _LM_QUANT_LEAVES or (leaf in _LM_QUANT_TOP
+                                              and len(keys) == 1)
+        if target and w.ndim >= 2:
+            return quantize_weight(w)
+        if jnp.issubdtype(w.dtype, jnp.floating):
+            return w.astype(jnp.bfloat16)
+        return w
+
+    return jax.tree_util.tree_map_with_path(visit, params)

@@ -52,6 +52,33 @@ def greedy_one(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def sample_main_and_high(key: jax.Array, logits: jax.Array,
+                         temperature: jax.Array, top_p: jax.Array,
+                         top_k: int):
+    """Draw the normal-params sample AND the RAS high-temperature fallback
+    from ONE top-k/logsumexp pass (the candidate set is identical for both;
+    the reference runs two full passes, inference.py:120-132). Distributions
+    match two independent `sample_one` calls exactly."""
+    logits = logits.astype(jnp.float32)
+    z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    vals, idx = jax.lax.top_k(logits, top_k)
+    cum = jnp.cumsum(jnp.exp(vals - z), axis=-1)
+
+    def draw(k, temp, tp):
+        remove = cum > tp
+        remove = remove.at[:, 0].set(False)
+        cand = jnp.where(remove, -jnp.inf, vals) / jnp.clip(temp, 1e-5, None)
+        probs = jax.nn.softmax(cand, axis=-1)
+        u = jax.random.uniform(k, probs.shape,
+                               minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+        choice = jnp.argmax(probs / -jnp.log(u), axis=-1)
+        return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+    k1, k2 = jax.random.split(key)
+    return (draw(k1, temperature, top_p),
+            draw(k2, jnp.float32(RAS_HIGH_TEMP), jnp.float32(RAS_HIGH_TOP_P)))
+
+
 @partial(jax.jit, static_argnames=("top_k", "greedy"))
 def sample_token(key: jax.Array, logits: jax.Array, temperature: jax.Array,
                  top_p: jax.Array, top_k: int = 30, greedy: bool = False) -> jax.Array:

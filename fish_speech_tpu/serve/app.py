@@ -252,10 +252,17 @@ class TTSApp:
             "message": "Reference deleted" if ok else "Reference not found",
             "reference_id": ref_id})
 
+    async def webui(self, request: web.Request) -> web.Response:
+        from .webui import WEBUI_HTML
+
+        return web.Response(text=WEBUI_HTML, content_type="text/html")
+
     def build(self) -> web.Application:
         app = web.Application(
             middlewares=[self.error_middleware, self.auth_middleware],
             client_max_size=256 * 1024 * 1024)
+        app.router.add_get("/", self.webui)
+        app.router.add_get("/ui", self.webui)
         app.router.add_get("/v1/health", self.health)
         app.router.add_post("/v1/health", self.health)
         app.router.add_post("/v1/tts", self.tts)

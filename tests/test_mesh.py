@@ -69,3 +69,34 @@ def test_tp_decode_matches_single_device():
         sharded = run(sharded_params)
 
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_unrolled_decode_matches_scan():
+    """The unrolled layer loop (in-place cache) must equal the scan path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.decode import SamplingConfig, generate
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.sampling import semantic_logit_bias
+    from ref_harness import random_lm_prompt
+
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    prompt = random_lm_prompt(cfg, 10, np.random.default_rng(5))
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, 4)
+
+    def run(c):
+        codes, _ = generate(
+            params, c, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+            jax.random.key(0), SamplingConfig.create(), bias,
+            max_new_tokens=6, im_end_id=4, greedy=True)
+        return np.asarray(codes)
+
+    scan = run(cfg)
+    unrolled = run(dataclasses.replace(cfg, unrolled_decode=True))
+    np.testing.assert_array_equal(scan, unrolled)

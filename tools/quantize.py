@@ -1,0 +1,38 @@
+"""Int8 weight-only PTQ CLI (ref /root/reference/tools/llama/quantize.py):
+quantize a Dual-AR checkpoint (our safetensors layout) for 2x less decode
+bandwidth."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--output", type=Path, default=None,
+                   help="default: <checkpoint>-int8")
+    args = p.parse_args()
+
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+    from fish_speech_tpu.utils.checkpoint import load_params, save_params
+
+    params, cfg = load_params(args.checkpoint)
+    quantized = quantize_lm_params(params)
+    out = args.output or args.checkpoint.with_name(args.checkpoint.name + "-int8")
+    save_params(out, quantized, cfg)
+
+    import jax
+
+    orig = sum(x.nbytes for x in jax.tree.leaves(params))
+    new = sum(x.nbytes for x in jax.tree.leaves(quantized))
+    print(f"quantized {args.checkpoint} -> {out}: "
+          f"{orig / 1e9:.2f} GB -> {new / 1e9:.2f} GB")
+
+
+if __name__ == "__main__":
+    main()
