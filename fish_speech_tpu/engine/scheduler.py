@@ -1,0 +1,279 @@
+"""Continuous-batching decode scheduler.
+
+The reference serves one request at a time from a single model-owner thread
+(ref inference.py:748-799) and delegates scale-out to SGLang. Here requests
+share one device-resident batch of decode *slots*:
+
+- a fixed (B, K+1) slot bank decodes one step per tick for every active slot,
+  with per-slot sequence positions (the attention/caching layer supports
+  per-row write offsets);
+- new requests prefill into any free slot between ticks (the prefill program
+  writes only that slot's cache rows);
+- finished slots (im_end or budget) free immediately and their codes are
+  handed to the caller — utterances of different lengths never block each
+  other (contrast: static batching waits for the longest).
+
+All programs have static shapes: one prefill program per prompt-length
+bucket, one tick program. Multi-host: the same tick runs under pjit with the
+slot axis sharded over `data` and weights over `model`.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import DualARConfig
+from ..models.decode import SamplingConfig, decode_one_token
+from ..models.dual_ar import KVCache, param_dtype, precompute_freqs_cis
+from ..ops.sampling import RAS_WIN_SIZE, push_window
+
+
+@dataclass
+class SlotRequest:
+    request_id: int
+    prompt: np.ndarray            # (K+1, T)
+    max_new_tokens: int
+    on_token: Callable | None = None   # streaming hook: (request_id, column)
+    result: list = field(default_factory=list)
+    done: threading.Event = field(default_factory=threading.Event)
+    error: Exception | None = None
+
+
+class ContinuousBatcher:
+    def __init__(self, params: dict, cfg: DualARConfig, *, num_slots: int,
+                 cache_len: int, im_end_id: int, bias: jax.Array,
+                 sampling: SamplingConfig | None = None, top_k: int = 30,
+                 greedy: bool = False, seed: int = 0,
+                 prompt_bucket: int = 128):
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.cache_len = cache_len
+        self.im_end_id = im_end_id
+        self.bias = bias
+        self.sampling = sampling or SamplingConfig.create()
+        self.top_k = top_k
+        self.greedy = greedy
+        self.prompt_bucket = prompt_bucket
+
+        dtype = param_dtype(params)
+        self.cache = KVCache.create(cfg.n_layer, num_slots, cache_len,
+                                    cfg.n_local_heads, cfg.head_dim, dtype)
+        self.freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
+        self.fast_freqs = precompute_freqs_cis(cfg.num_codebooks,
+                                               cfg.fast_head_dim, cfg.rope_base)
+
+        # device state
+        self.cur = jnp.zeros((num_slots, cfg.num_codebooks + 1), jnp.int32)
+        self.pos = jnp.zeros((num_slots,), jnp.int32)       # next write slot
+        self.start = jnp.zeros((num_slots,), jnp.int32)     # left-pad offset
+        self.active = jnp.zeros((num_slots,), bool)
+        self.prev_win = jnp.zeros((num_slots, RAS_WIN_SIZE), jnp.int32)
+        self.key = jax.random.key(seed)
+
+        # host-side slot metadata
+        self.slot_req: list[SlotRequest | None] = [None] * num_slots
+        self.slot_budget = np.zeros(num_slots, dtype=np.int64)
+        self._tick_fn = self._build_tick()
+        self._prefill_fn = self._build_prefill()
+
+    # ------------------------------------------------------------------
+    def _build_tick(self):
+        cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
+
+        @jax.jit
+        def tick(params, cache_k, cache_v, cur, pos, start, active, prev_win,
+                 key, bias, sampling):
+            rope_pos = (pos - start)[:, None]
+            key, sub = jax.random.split(key)
+            col, new_cache = decode_one_token(
+                params, cfg, cur[:, :, None], KVCache(cache_k, cache_v), pos,
+                self.freqs, self.fast_freqs, bias, sub, sampling, prev_win,
+                top_k=top_k, greedy=greedy, rope_positions=rope_pos,
+                key_valid_from=start)
+            # inactive slots keep their state
+            col = jnp.where(active[:, None], col, cur)
+            new_pos = jnp.where(active, pos + 1, pos)
+            new_win = jnp.where(active[:, None],
+                                push_window(prev_win, col[:, 0]), prev_win)
+            finished = active & (col[:, 0] == self.im_end_id)
+            return new_cache.k, new_cache.v, col, new_pos, new_win, finished, key
+
+        return tick
+
+    def _build_prefill(self):
+        cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
+
+        @partial(jax.jit, static_argnames=("t",), donate_argnums=(1, 2))
+        def prefill(params, cache_k, cache_v, prompt, slot, start_offset, key,
+                    bias, sampling, t):
+            l, _, s, h, d = cache_k.shape
+            sub_k = jax.lax.dynamic_slice(cache_k, (0, slot, 0, 0, 0),
+                                          (l, 1, s, h, d))
+            sub_v = jax.lax.dynamic_slice(cache_v, (0, slot, 0, 0, 0),
+                                          (l, 1, s, h, d))
+            rope_pos = jnp.maximum(
+                jnp.arange(t, dtype=jnp.int32)[None, :] - start_offset, 0)
+            col, new_sub = decode_one_token(
+                params, cfg, prompt, KVCache(sub_k, sub_v), jnp.int32(0),
+                self.freqs, self.fast_freqs, bias, key, sampling, None,
+                top_k=top_k, greedy=greedy, rope_positions=rope_pos,
+                key_valid_from=start_offset[None] if start_offset.ndim == 0
+                else start_offset)
+            cache_k = jax.lax.dynamic_update_slice(cache_k, new_sub.k,
+                                                   (0, slot, 0, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(cache_v, new_sub.v,
+                                                   (0, slot, 0, 0, 0))
+            return cache_k, cache_v, col[0]
+
+        return prefill
+
+    # ------------------------------------------------------------------
+    def _assign(self, req: SlotRequest, slot: int):
+        t_real = req.prompt.shape[1]
+        bucket = min(max(self.prompt_bucket,
+                         -(-t_real // self.prompt_bucket) * self.prompt_bucket),
+                     self.cache_len)
+        if t_real > bucket:
+            raise ValueError(f"prompt too long: {t_real} > {bucket}")
+        padded = np.zeros((req.prompt.shape[0], bucket), np.int32)
+        padded[:, bucket - t_real:] = req.prompt
+        start = bucket - t_real
+
+        self.key, sub = jax.random.split(self.key)
+        ck, cv, col = self._prefill_fn(
+            self.params, self.cache.k, self.cache.v,
+            jnp.asarray(padded)[None], jnp.int32(slot), jnp.int32(start),
+            sub, self.bias, self.sampling, bucket)
+        self.cache = KVCache(ck, cv)
+
+        self.cur = self.cur.at[slot].set(col)
+        self.pos = self.pos.at[slot].set(bucket)
+        self.start = self.start.at[slot].set(start)
+        self.prev_win = self.prev_win.at[slot].set(
+            jnp.zeros(RAS_WIN_SIZE, jnp.int32).at[-1].set(col[0]))
+        self.active = self.active.at[slot].set(True)
+        self.slot_req[slot] = req
+        self.slot_budget[slot] = min(req.max_new_tokens,
+                                     self.cache_len - bucket) - 1
+
+        first = np.asarray(col)
+        if first[0] == self.im_end_id:
+            self._finish_slot(slot, emit_last=False)
+        else:
+            req.result.append(first)
+            if req.on_token:
+                req.on_token(req.request_id, first)
+
+    def _finish_slot(self, slot: int, emit_last: bool):
+        req = self.slot_req[slot]
+        self.active = self.active.at[slot].set(False)
+        self.slot_req[slot] = None
+        if req is not None:
+            req.done.set()
+
+    def step(self) -> None:
+        """One decode tick for all active slots + host bookkeeping."""
+        ck, cv, col, pos, win, finished, self.key = self._tick_fn(
+            self.params, self.cache.k, self.cache.v, self.cur, self.pos,
+            self.start, self.active, self.prev_win, self.key, self.bias,
+            self.sampling)
+        self.cache = KVCache(ck, cv)
+        self.cur, self.pos, self.prev_win = col, pos, win
+
+        col_h = np.asarray(col)
+        fin_h = np.asarray(finished)
+        active_h = np.asarray(self.active)
+        for slot in range(self.num_slots):
+            if not active_h[slot]:
+                continue
+            req = self.slot_req[slot]
+            if fin_h[slot]:
+                self._finish_slot(slot, emit_last=True)
+                continue
+            req.result.append(col_h[slot])
+            if req.on_token:
+                req.on_token(req.request_id, col_h[slot])
+            self.slot_budget[slot] -= 1
+            if self.slot_budget[slot] <= 0:
+                self._finish_slot(slot, emit_last=False)
+
+    def free_slots(self) -> list[int]:
+        active_h = np.asarray(self.active)
+        return [i for i in range(self.num_slots) if not active_h[i]
+                and self.slot_req[i] is None]
+
+    def has_active(self) -> bool:
+        return bool(np.asarray(self.active).any())
+
+    # ------------------------------------------------------------------
+    def run(self, requests: list[SlotRequest]) -> dict[int, np.ndarray]:
+        """Convenience driver: schedule all requests, return codes per id."""
+        pending = list(requests)
+        while pending or self.has_active():
+            for slot in self.free_slots():
+                if not pending:
+                    break
+                self._assign(pending.pop(0), slot)
+            if self.has_active():
+                self.step()
+        out = {}
+        for req in requests:
+            if req.result:
+                out[req.request_id] = np.stack(req.result, axis=1)  # (K+1, T)
+            else:
+                out[req.request_id] = np.zeros(
+                    (self.cfg.num_codebooks + 1, 0), np.int32)
+        return out
+
+
+class SchedulerThread:
+    """Model-owner thread wrapping ContinuousBatcher behind a queue (the
+    concurrency model of ref inference.py:748-799, generalized to overlapping
+    requests)."""
+
+    def __init__(self, batcher: ContinuousBatcher, poll_s: float = 0.002):
+        self.batcher = batcher
+        self.queue: "queue.Queue[SlotRequest]" = queue.Queue()
+        self.poll_s = poll_s
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, req: SlotRequest) -> SlotRequest:
+        self.queue.put(req)
+        return req
+
+    def _loop(self):
+        import time
+
+        while not self._stop.is_set():
+            moved = False
+            for slot in self.batcher.free_slots():
+                try:
+                    req = self.queue.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    self.batcher._assign(req, slot)
+                    moved = True
+                except Exception as e:
+                    req.error = e
+                    req.done.set()
+            if self.batcher.has_active():
+                self.batcher.step()
+                moved = True
+            if not moved:
+                time.sleep(self.poll_s)
+
+    def stop(self):
+        self._stop.set()
+        self.thread.join(timeout=5)

@@ -105,10 +105,19 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     k = apply_rotary_emb(k, freqs_cis)
 
     if cache_k is not None:
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
-                                               (0, input_pos, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
-                                               (0, input_pos, 0, 0))
+        if jnp.ndim(input_pos) == 0:
+            # all rows write the same slot range (single-utterance / prefill)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, input_pos, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, input_pos, 0, 0))
+        else:
+            # per-row write positions (continuous batching: slots decode at
+            # different sequence offsets) — scatter along the seq axis
+            rows = jnp.arange(b)[:, None]
+            cols = input_pos[:, None] + jnp.arange(t)[None, :]
+            cache_k = cache_k.at[rows, cols].set(k.astype(cache_k.dtype))
+            cache_v = cache_v.at[rows, cols].set(v.astype(cache_v.dtype))
         k, v = cache_k, cache_v
 
     # GQA: group query heads over kv heads
@@ -253,14 +262,17 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
     """
     b, _, t = inp.shape
     x = embed_tokens(params, cfg, inp)
-    positions = input_pos + jnp.arange(t, dtype=jnp.int32)
+    positions = jnp.asarray(input_pos)[..., None] + jnp.arange(t, dtype=jnp.int32)
     if rope_positions is None:
         freqs_cis = jnp.take(freqs_table, positions, axis=0)
     else:
         freqs_cis = jnp.take(freqs_table, rope_positions, axis=0)  # (B,T,·,2)
     s = cache.k.shape[2]
     key_pos = jnp.arange(s, dtype=jnp.int32)
-    mask = (key_pos[None, :] <= positions[:, None])[None, None]  # (1,1,T,S)
+    if positions.ndim == 1:  # scalar input_pos: shared positions
+        mask = (key_pos[None, :] <= positions[:, None])[None, None]  # (1,1,T,S)
+    else:  # per-row input_pos: (B, T, S) causal mask
+        mask = (key_pos[None, None, :] <= positions[:, :, None])[:, None]
     if key_valid_from is not None:
         valid = key_pos[None, :] >= key_valid_from[:, None]      # (B,S)
         mask = mask & valid[:, None, None, :]

@@ -245,8 +245,8 @@ def random_lm_prompt(cfg, t: int, rng):
 
     tokens = rng.integers(0, cfg.vocab_size, size=(t,))
     sem = rng.integers(cfg.semantic_begin_id, cfg.semantic_end_id + 1,
-                       size=(t // 2,))
-    tokens[t // 2:] = sem[: t - t // 2]
+                       size=(t - t // 2,))
+    tokens[t // 2:] = sem
     codes = rng.integers(0, cfg.codebook_size, size=(cfg.num_codebooks, t))
     codes[:, : t // 2] = 0
     return np.concatenate([tokens[None], codes], axis=0).astype(np.int32)

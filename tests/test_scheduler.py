@@ -1,0 +1,97 @@
+"""Continuous-batching scheduler: overlapping requests must reproduce the
+single-utterance decode exactly (greedy)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fish_speech_tpu.engine.scheduler import ContinuousBatcher, SchedulerThread, SlotRequest
+from fish_speech_tpu.models.config import tiny_dual_ar_config
+from fish_speech_tpu.models.decode import SamplingConfig, generate
+from fish_speech_tpu.models.init import init_dual_ar_params
+from fish_speech_tpu.ops.sampling import semantic_logit_bias
+
+from ref_harness import random_lm_prompt
+
+IM_END = 4
+
+
+def _setup():
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, IM_END)
+    return cfg, params, bias
+
+
+def _single(params, cfg, bias, prompt, max_new):
+    codes, lengths = generate(
+        params, cfg, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+        jax.random.key(0), SamplingConfig.create(), bias,
+        max_new_tokens=max_new, im_end_id=IM_END, greedy=True, cache_len=128)
+    n = int(lengths[0])
+    return np.asarray(codes)[0, :, :n]
+
+
+def test_batcher_matches_single_decodes():
+    cfg, params, bias = _setup()
+    rng = np.random.default_rng(0)
+    prompts = [random_lm_prompt(cfg, t, rng) for t in (9, 14, 21)]
+    max_new = 10
+
+    singles = [_single(params, cfg, bias, p, max_new) for p in prompts]
+
+    batcher = ContinuousBatcher(
+        params, cfg, num_slots=2, cache_len=128, im_end_id=IM_END,
+        bias=bias, greedy=True, prompt_bucket=32)
+    reqs = [SlotRequest(request_id=i, prompt=p, max_new_tokens=max_new)
+            for i, p in enumerate(prompts)]
+    results = batcher.run(reqs)
+
+    for i, want in enumerate(singles):
+        got = results[i]
+        n = want.shape[1]
+        # batcher emits up to max_new columns without the trailing im_end;
+        # single strips im_end via lengths — compare the common prefix
+        assert got.shape[1] >= n, f"req {i}: {got.shape} vs {want.shape}"
+        np.testing.assert_array_equal(got[:, :n], want)
+        # and nothing after im_end should have been emitted
+        assert got.shape[1] <= n + 1
+
+
+def test_scheduler_thread():
+    cfg, params, bias = _setup()
+    rng = np.random.default_rng(1)
+    batcher = ContinuousBatcher(
+        params, cfg, num_slots=2, cache_len=128, im_end_id=IM_END,
+        bias=bias, greedy=True, prompt_bucket=32)
+    sched = SchedulerThread(batcher)
+    try:
+        reqs = [SlotRequest(request_id=i,
+                            prompt=random_lm_prompt(cfg, 8 + i, rng),
+                            max_new_tokens=6)
+                for i in range(4)]
+        for r in reqs:
+            sched.submit(r)
+        for r in reqs:
+            assert r.done.wait(timeout=120), "request did not finish"
+            assert r.error is None
+            assert len(r.result) >= 1
+    finally:
+        sched.stop()
+
+
+def test_streaming_token_hook():
+    cfg, params, bias = _setup()
+    rng = np.random.default_rng(2)
+    batcher = ContinuousBatcher(
+        params, cfg, num_slots=1, cache_len=128, im_end_id=IM_END,
+        bias=bias, greedy=True, prompt_bucket=32)
+    seen = []
+    req = SlotRequest(request_id=7, prompt=random_lm_prompt(cfg, 10, rng),
+                      max_new_tokens=5,
+                      on_token=lambda rid, col: seen.append((rid, col.copy())))
+    out = batcher.run([req])
+    assert len(seen) == out[7].shape[1]
+    assert all(rid == 7 for rid, _ in seen)
