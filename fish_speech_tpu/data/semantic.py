@@ -171,6 +171,53 @@ class SemanticIterableDataset:
                 yield item
 
 
+class SemanticDataset:
+    """Map-style variant (ref semantic.py:286-461): fixed-length epoch over
+    eagerly-loaded groups; item i deterministically samples group i % len."""
+
+    def __init__(self, proto_files: list[str], tokenizer, seed: int = 42,
+                 max_length: int = 1024, num_codebooks: Optional[int] = None,
+                 repeat: int = 1):
+        self._iterable = SemanticIterableDataset(
+            proto_files, tokenizer, seed=seed, max_length=max_length,
+            num_codebooks=num_codebooks)
+        self.repeat = repeat
+
+    def __len__(self):
+        self._iterable._init_groups()
+        return len(self._iterable.groups) * self.repeat
+
+    def __getitem__(self, idx):
+        self._iterable._init_groups()
+        random.seed(self._iterable.seed + idx)
+        item = self._iterable.augment()
+        if item is None:
+            return self[(idx + 1) % len(self)]
+        return item
+
+
+class ConcatRepeatDataset:
+    """Weighted concat-with-repeat of map datasets (ref concat_repeat.py:8-53):
+    each dataset is repeated `repeats[i]` times; iteration order interleaves
+    by index striding."""
+
+    def __init__(self, datasets: list, repeats: list[int]):
+        assert len(datasets) == len(repeats)
+        self.datasets = datasets
+        self.repeats = repeats
+        self.lens = [len(d) * r for d, r in zip(datasets, repeats)]
+
+    def __len__(self):
+        return sum(self.lens)
+
+    def __getitem__(self, idx):
+        for d, n in zip(self.datasets, self.lens):
+            if idx < n:
+                return d[idx % len(d)]
+            idx -= n
+        raise IndexError(idx)
+
+
 class InterleaveDataset:
     """Probability-mixed iterable datasets (ref semantic.py:464-491)."""
 

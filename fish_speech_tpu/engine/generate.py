@@ -115,17 +115,25 @@ def build_base_conversation(prompt_text: list[str] | None,
 
 
 class TTSEngine:
-    """text -> codes (-> waveform, when codec params are attached)."""
+    """text -> codes (-> waveform, when codec params are attached).
+
+    With `scheduler_slots > 0`, generation goes through the continuous-
+    batching scheduler: concurrent calls from different threads share decode
+    ticks instead of serializing whole utterances.
+    """
 
     def __init__(self, params: dict, cfg: DualARConfig, tokenizer,
                  codec_params: dict | None = None, codec_cfg=None,
-                 cache_len: int | None = None):
+                 cache_len: int | None = None, scheduler_slots: int = 0):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.codec_params = codec_params
         self.codec_cfg = codec_cfg
         self.cache_len = cache_len or cfg.max_seq_len
+        self.scheduler = None
+        self._next_request_id = 0
+        self.scheduler_slots = scheduler_slots
         self.im_end_id = tokenizer.get_token_id(IM_END_TOKEN)
         self._bias = semantic_logit_bias(
             cfg.vocab_size, cfg.semantic_begin_id, cfg.semantic_end_id,
@@ -137,6 +145,44 @@ class TTSEngine:
                 lambda p, c: dac_from_indices(p, self.codec_cfg, c))
             self._jit_encoder = jax.jit(
                 lambda p, w: dac_encode(p, self.codec_cfg, w))
+
+        if scheduler_slots > 0:
+            from .scheduler import ContinuousBatcher, SchedulerThread
+
+            batcher = ContinuousBatcher(
+                params, cfg, num_slots=scheduler_slots,
+                cache_len=self.cache_len, im_end_id=self.im_end_id,
+                bias=self._bias)
+            self.scheduler = SchedulerThread(batcher)
+
+    def _generate_codes(self, padded: np.ndarray, start: int, max_new: int,
+                        req: "GenerateLongRequest", key) -> np.ndarray:
+        """One segment: (K+1, Tpad) left-padded prompt -> (K+1, n) codes."""
+        if self.scheduler is not None:
+            from .scheduler import SlotRequest
+
+            self._next_request_id += 1
+            slot_req = SlotRequest(
+                request_id=self._next_request_id,
+                prompt=padded[:, start:], max_new_tokens=max_new,
+                temperature=req.temperature, top_p=req.top_p)
+            self.scheduler.submit(slot_req)
+            if not slot_req.done.wait(timeout=3600):
+                raise TimeoutError("scheduler request timed out")
+            if slot_req.error is not None:
+                raise slot_req.error
+            if not slot_req.result:
+                return np.zeros((padded.shape[0], 0), np.int32)
+            return np.stack(slot_req.result, axis=1)
+
+        sampling = SamplingConfig.create(req.temperature, req.top_p)
+        codes_buf, lengths = generate(
+            self.params, self.cfg, jnp.asarray(padded)[None],
+            jnp.asarray([start], jnp.int32), key, sampling, self._bias,
+            max_new_tokens=max_new, im_end_id=self.im_end_id,
+            top_k=req.top_k, cache_len=self.cache_len)
+        n_valid = int(lengths[0])
+        return np.asarray(codes_buf[0, :, :n_valid])
 
     # -- codes -> audio ----------------------------------------------------
     def decode_codes(self, codes: np.ndarray) -> np.ndarray:
@@ -214,17 +260,13 @@ class TTSEngine:
 
             t0 = time.perf_counter()
             key, sub = jax.random.split(key)
-            codes_buf, lengths = generate(
-                self.params, cfg, jnp.asarray(padded)[None],
-                jnp.asarray([start], jnp.int32), sub, sampling, self._bias,
-                max_new_tokens=max_new, im_end_id=self.im_end_id,
-                top_k=req.top_k, cache_len=self.cache_len)
-            n_valid = int(lengths[0])
+            full = self._generate_codes(padded, start, max_new, req, sub)
+            n_valid = full.shape[1]
             if req.max_new_tokens:
                 n_valid = min(n_valid, req.max_new_tokens)
             wall = time.perf_counter() - t0
 
-            codes = np.asarray(codes_buf[0, 1:, :n_valid])
+            codes = full[1:, :n_valid]
             assert (codes >= 0).all(), "negative code generated"
 
             # grow the conversation with the assistant turn for consistency

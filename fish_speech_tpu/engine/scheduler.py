@@ -41,6 +41,8 @@ class SlotRequest:
     request_id: int
     prompt: np.ndarray            # (K+1, T)
     max_new_tokens: int
+    temperature: float = 0.7
+    top_p: float = 0.7
     on_token: Callable | None = None   # streaming hook: (request_id, column)
     result: list = field(default_factory=list)
     done: threading.Event = field(default_factory=threading.Event)
@@ -71,7 +73,10 @@ class ContinuousBatcher:
         self.fast_freqs = precompute_freqs_cis(cfg.num_codebooks,
                                                cfg.fast_head_dim, cfg.rope_base)
 
-        # device state
+        # device state (temperature/top_p are per-slot: requests carry their
+        # own sampling params)
+        self.temp = jnp.full((num_slots,), self.sampling.temperature, jnp.float32)
+        self.top_p = jnp.full((num_slots,), self.sampling.top_p, jnp.float32)
         self.cur = jnp.zeros((num_slots, cfg.num_codebooks + 1), jnp.int32)
         self.pos = jnp.zeros((num_slots,), jnp.int32)       # next write slot
         self.start = jnp.zeros((num_slots,), jnp.int32)     # left-pad offset
@@ -148,11 +153,14 @@ class ContinuousBatcher:
         padded[:, bucket - t_real:] = req.prompt
         start = bucket - t_real
 
+        self.temp = self.temp.at[slot].set(req.temperature)
+        self.top_p = self.top_p.at[slot].set(req.top_p)
         self.key, sub = jax.random.split(self.key)
         ck, cv, col = self._prefill_fn(
             self.params, self.cache.k, self.cache.v,
             jnp.asarray(padded)[None], jnp.int32(slot), jnp.int32(start),
-            sub, self.bias, self.sampling, bucket)
+            sub, self.bias, SamplingConfig(jnp.float32(req.temperature),
+                                           jnp.float32(req.top_p)), bucket)
         self.cache = KVCache(ck, cv)
 
         self.cur = self.cur.at[slot].set(col)
@@ -185,7 +193,7 @@ class ContinuousBatcher:
         ck, cv, col, pos, win, finished, self.key = self._tick_fn(
             self.params, self.cache.k, self.cache.v, self.cur, self.pos,
             self.start, self.active, self.prev_win, self.key, self.bias,
-            self.sampling)
+            SamplingConfig(self.temp, self.top_p))
         self.cache = KVCache(ck, cv)
         self.cur, self.pos, self.prev_win = col, pos, win
 

@@ -1,0 +1,43 @@
+"""UI localization (ref /root/reference/fish_speech/i18n/core.py:16-40):
+locale json files keyed by UI string, auto-selected from system locale with a
+`.locale` file override."""
+
+from __future__ import annotations
+
+import json
+import locale
+from pathlib import Path
+
+I18N_FILE_PATH = Path(__file__).parent / "locale"
+DEFAULT_LANGUAGE = "en_US"
+
+
+def load_language_list(language: str) -> dict:
+    with open(I18N_FILE_PATH / f"{language}.json", "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+class I18nAuto:
+    def __init__(self, language: str | None = None):
+        if language is None:
+            override = Path(".locale")
+            if override.exists():
+                language = override.read_text(encoding="utf-8").strip()
+            else:
+                try:
+                    language = locale.getlocale()[0]
+                except Exception:
+                    language = None
+        if not language or not (I18N_FILE_PATH / f"{language}.json").exists():
+            language = DEFAULT_LANGUAGE
+        self.language = language
+        self.language_map = load_language_list(language)
+
+    def __call__(self, key: str) -> str:
+        return self.language_map.get(key, key)
+
+    def __repr__(self) -> str:
+        return "Use Language: " + self.language
+
+
+i18n = I18nAuto()

@@ -20,6 +20,9 @@ def find_multiple(n: int, k: int) -> int:
 
 @dataclass(frozen=True)
 class DualARConfig:
+    # "dual_ar": AR fast head over codebooks; "naive": parallel codebook head
+    # (ref llama.py NaiveTransformer, 613-656)
+    model_type: str = "dual_ar"
     vocab_size: int = 32000
     n_layer: int = 32
     n_head: int = 32
@@ -64,6 +67,9 @@ class DualARConfig:
     # in-place per-layer cache updates (the scan path double-buffers the KV
     # cache); longer compile, no numerical effect
     unrolled_decode: bool = False
+    # route T=1 cached attention through the Pallas decode kernel
+    # (ops/attention.py) instead of the XLA einsum path
+    use_pallas_attention: bool = False
 
     def __post_init__(self):
         s = lambda k, v: object.__setattr__(self, k, v)
@@ -149,6 +155,10 @@ class DualARConfig:
         import dataclasses as _dc
         valid = {f.name for f in _dc.fields(DualARConfig)}
         return DualARConfig(**{k: v for k, v in data.items() if k in valid})
+
+    @property
+    def is_naive(self) -> bool:
+        return self.model_type == "naive"
 
     def with_semantic_range(self, begin: int, end: int) -> "DualARConfig":
         return replace(self, semantic_begin_id=begin, semantic_end_id=end)

@@ -96,6 +96,29 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
         token = _maybe_sample(k_norm, logits, sampling.temperature,
                               sampling.top_p, top_k, greedy)
 
+    if cfg.is_naive:
+        # parallel codebook head (ref NaiveTransformer.decode, llama.py:626-639):
+        # all K codebooks sampled at once from the slow hidden state
+        from ..ops.quant import as_weight
+        from .dual_ar import rms_norm
+
+        cb = rms_norm(hidden, params["codebook_norm"], cfg.norm_eps)
+        cb_logits = (cb @ as_weight(params["codebook_output"], cb.dtype).T)
+        cb_logits = cb_logits.reshape(b * cfg.num_codebooks,
+                                      cfg.codebook_size).astype(jnp.float32)
+        if greedy:
+            codes = greedy_one(cb_logits)
+        else:
+            temp = sampling.temperature
+            top_p = sampling.top_p
+            if jnp.ndim(temp) == 1:
+                temp = jnp.repeat(temp, cfg.num_codebooks)
+                top_p = jnp.repeat(top_p, cfg.num_codebooks)
+            codes = sample_one(k_fast, cb_logits, temp, top_p, top_k)
+        codes = codes.reshape(b, cfg.num_codebooks)
+        column = jnp.concatenate([token[:, None], codes], axis=1)
+        return column.astype(jnp.int32), out.cache
+
     # Fast head: prime position 0 with the slow hidden state, then emit the
     # residual codebooks autoregressively (ref inference.py:146-174).
     fast_cache = KVCache.create(cfg.n_fast_layer, b, cfg.num_codebooks,

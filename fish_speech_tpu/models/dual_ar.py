@@ -73,20 +73,23 @@ def apply_rotary_emb(x: jax.Array, freqs_cis: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, S, H_kv, Dh)
-    v: jax.Array
+    k: jax.Array  # (L, B, H_kv, S, Dh) — head-major so one head's stripe is
+    v: jax.Array  # contiguous (the Pallas decode kernel DMAs (S, Dh) blocks)
 
     @staticmethod
     def create(n_layer: int, batch: int, seq: int, n_kv: int, head_dim: int,
                dtype=jnp.bfloat16) -> "KVCache":
-        shape = (n_layer, batch, seq, n_kv, head_dim)
+        shape = (n_layer, batch, n_kv, seq, head_dim)
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
 def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
               mask: jax.Array, cache_k: jax.Array | None = None,
-              cache_v: jax.Array | None = None, input_pos: jax.Array | None = None):
-    """Returns (out, new_cache_k, new_cache_v). mask: (B or 1, 1, Tq, S) bool."""
+              cache_v: jax.Array | None = None, input_pos: jax.Array | None = None,
+              pallas_bounds: tuple | None = None):
+    """Returns (out, new_cache_k, new_cache_v). mask: (B or 1, 1, Tq, S) bool.
+    pallas_bounds: optional (lengths (B,), starts (B,)) — routes the T=1
+    cached case through the Pallas decode kernel instead of the einsum path."""
     b, t, _ = x.shape
     h, hkv, d = ad.n_head, ad.n_local_heads, ad.head_dim
     qkv = x @ as_weight(p["wqkv"], x.dtype).T
@@ -105,32 +108,53 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     k = apply_rotary_emb(k, freqs_cis)
 
     if cache_k is not None:
+        # cache layout (B, H_kv, S, D); new k/v arrive as (B, T, H_kv, D)
+        kt = k.transpose(0, 2, 1, 3).astype(cache_k.dtype)
+        vt = v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
         if jnp.ndim(input_pos) == 0:
             # all rows write the same slot range (single-utterance / prefill)
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, input_pos, 0, 0))
+                cache_k, kt, (0, 0, input_pos, 0))
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, input_pos, 0, 0))
+                cache_v, vt, (0, 0, input_pos, 0))
         else:
             # per-row write positions (continuous batching: slots decode at
-            # different sequence offsets) — scatter along the seq axis
+            # different sequence offsets) — scatter along the seq axis; two
+            # advanced indices around the head slice put (B, T) first, so the
+            # value layout is exactly k/v's native (B, T, H_kv, D)
             rows = jnp.arange(b)[:, None]
             cols = input_pos[:, None] + jnp.arange(t)[None, :]
-            cache_k = cache_k.at[rows, cols].set(k.astype(cache_k.dtype))
-            cache_v = cache_v.at[rows, cols].set(v.astype(cache_v.dtype))
+            cache_k = cache_k.at[rows, :, cols].set(k.astype(cache_k.dtype))
+            cache_v = cache_v.at[rows, :, cols].set(v.astype(cache_v.dtype))
         k, v = cache_k, cache_v
 
     # GQA: group query heads over kv heads
     g = h // hkv
     qg = q.reshape(b, t, hkv, g, d)
     scale = 1.0 / math.sqrt(d)
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) * scale
+    if pallas_bounds is not None and cache_k is not None and t == 1:
+        from ..ops.attention import pallas_decode_attention
+
+        lengths, starts = pallas_bounds
+        y = pallas_decode_attention(qg[:, 0], k, v, lengths, starts)
+        y = y.reshape(b, 1, h * d)
+        out = y @ as_weight(p["wo"], x.dtype).T
+        if ad.o_bias:
+            out = out + p["wo_b"]
+        return out, cache_k, cache_v
+    if cache_k is not None:
+        scores = jnp.einsum("bqhgd,bhkd->bhgqk", qg, k) * scale
+    else:
+        scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) * scale
     # large-finite mask value (not -inf): fully-masked pad rows must stay
     # finite, else NaN k/v written at pad cache slots poison `0 * NaN` later
     scores = jnp.where(mask[:, :, None, :, :],
                        scores.astype(jnp.float32), jnp.float32(-1e30))
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    y = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    if cache_k is not None:
+        y = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v)
+    else:
+        y = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
     y = y.reshape(b, t, h * d)
     out = y @ as_weight(p["wo"], x.dtype).T
     if ad.o_bias:
@@ -146,9 +170,10 @@ def _ffn(p: dict, x: jax.Array) -> jax.Array:
 
 
 def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
-           cache_k=None, cache_v=None, input_pos=None):
+           cache_k=None, cache_v=None, input_pos=None, pallas_bounds=None):
     a, ck, cv = attention(p["attention"], ad, rms_norm(x, p["attention_norm"], eps),
-                          freqs_cis, mask, cache_k, cache_v, input_pos)
+                          freqs_cis, mask, cache_k, cache_v, input_pos,
+                          pallas_bounds)
     h = x + a
     out = h + _ffn(p["feed_forward"], rms_norm(h, p["ffn_norm"], eps))
     return out, ck, cv
@@ -156,7 +181,8 @@ def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
 
 def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
               mask, cache: KVCache | None = None, input_pos: jax.Array | None = None,
-              remat: bool = False, unroll: int = 1, unrolled: bool = False):
+              remat: bool = False, unroll: int = 1, unrolled: bool = False,
+              pallas_bounds: tuple | None = None):
     """Scan the stacked layer params over depth. Returns (x, new_cache).
 
     `unroll` trades compile time for schedule quality: unrolled layers let XLA
@@ -181,14 +207,15 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
         for i in range(n_layer):
             layer_p = jax.tree.map(lambda a: a[i], layers)
             x, ck, cv = _block(layer_p, ad, eps, x, freqs_cis, mask,
-                               nk[i], nv[i], input_pos)
+                               nk[i], nv[i], input_pos, pallas_bounds)
             nk = jax.lax.dynamic_update_index_in_dim(nk, ck, i, 0)
             nv = jax.lax.dynamic_update_index_in_dim(nv, cv, i, 0)
         return x, KVCache(nk, nv)
 
     def step(h, xs):
         layer_p, ck, cv = xs
-        out, ck, cv = _block(layer_p, ad, eps, h, freqs_cis, mask, ck, cv, input_pos)
+        out, ck, cv = _block(layer_p, ad, eps, h, freqs_cis, mask, ck, cv,
+                             input_pos, pallas_bounds)
         return out, (ck, cv)
 
     x, (nk, nv) = jax.lax.scan(step, x, (layers, cache.k, cache.v),
@@ -267,7 +294,7 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
         freqs_cis = jnp.take(freqs_table, positions, axis=0)
     else:
         freqs_cis = jnp.take(freqs_table, rope_positions, axis=0)  # (B,T,·,2)
-    s = cache.k.shape[2]
+    s = cache.k.shape[3]
     key_pos = jnp.arange(s, dtype=jnp.int32)
     if positions.ndim == 1:  # scalar input_pos: shared positions
         mask = (key_pos[None, :] <= positions[:, None])[None, None]  # (1,1,T,S)
@@ -277,9 +304,18 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
         valid = key_pos[None, :] >= key_valid_from[:, None]      # (B,S)
         mask = mask & valid[:, None, None, :]
 
+    pallas_bounds = None
+    if cfg.use_pallas_attention and t == 1:
+        lengths = positions[..., -1].reshape(-1) + 1
+        if lengths.shape[0] != b:
+            lengths = jnp.broadcast_to(lengths, (b,))
+        starts = (key_valid_from if key_valid_from is not None
+                  else jnp.zeros((b,), jnp.int32))
+        pallas_bounds = (lengths, starts)
     x, cache = run_stack(params["layers"], cfg.slow_attn, cfg.norm_eps, x,
                          freqs_cis, mask, cache, input_pos,
-                         unroll=cfg.scan_unroll, unrolled=cfg.unrolled_decode)
+                         unroll=cfg.scan_unroll, unrolled=cfg.unrolled_decode,
+                         pallas_bounds=pallas_bounds)
     if last_only and t > 1:
         x = x[:, -1:, :]
     slow_normed = rms_norm(x, params["norm"], cfg.norm_eps)
@@ -340,6 +376,17 @@ def forward_train(params: dict, cfg: DualARConfig, inp: jax.Array,
                      freqs_cis, mask, remat=remat)
     slow_normed = rms_norm(x, params["norm"], cfg.norm_eps)
     token_logits = _token_logits(params, cfg, slow_normed)
+
+    if cfg.is_naive:
+        # parallel codebook head (ref NaiveTransformer.decode, llama.py:626-639)
+        h = slow_normed if cfg.norm_fastlayer_input else x
+        cb = rms_norm(h, params["codebook_norm"], cfg.norm_eps)
+        cb_logits = cb @ as_weight(params["codebook_output"], cb.dtype).T
+        codebook_logits = cb_logits.reshape(b, t, cfg.num_codebooks,
+                                            cfg.codebook_size)
+        return TrainOut(token_logits=token_logits,
+                        codebook_logits=codebook_logits)
+
     h = _fast_input(params, cfg, x, slow_normed)  # (B, T, fast_dim)
 
     # Fast stack over all positions: fold T into batch.

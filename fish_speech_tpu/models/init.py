@@ -61,15 +61,24 @@ def init_dual_ar_params(key: jax.Array, cfg: DualARConfig,
         "layers": _init_stack(ks[2], cfg, cfg.slow_attn, cfg.n_layer,
                               cfg.intermediate_size, std, dtype),
         "norm": jnp.ones((cfg.dim,), dtype),
-        "fast_embeddings": w(ks[3], (cfg.codebook_size, cfg.fast_dim)),
-        "fast_layers": _init_stack(ks[4], cfg, cfg.fast_attn, cfg.n_fast_layer,
-                                   cfg.fast_intermediate_size, std, dtype),
-        "fast_norm": jnp.ones((cfg.fast_dim,), dtype),
-        "fast_output": w(ks[5], (cfg.codebook_size, cfg.fast_dim)),
     }
+    if cfg.is_naive:
+        # parallel codebook head (ref NaiveTransformer, llama.py:613-624)
+        params["codebook_norm"] = jnp.ones((cfg.dim,), dtype)
+        params["codebook_output"] = w(
+            ks[3], (cfg.codebook_size * cfg.num_codebooks, cfg.dim))
+    else:
+        params.update({
+            "fast_embeddings": w(ks[3], (cfg.codebook_size, cfg.fast_dim)),
+            "fast_layers": _init_stack(ks[4], cfg, cfg.fast_attn,
+                                       cfg.n_fast_layer,
+                                       cfg.fast_intermediate_size, std, dtype),
+            "fast_norm": jnp.ones((cfg.fast_dim,), dtype),
+            "fast_output": w(ks[5], (cfg.codebook_size, cfg.fast_dim)),
+        })
     if not cfg.tie_word_embeddings:
         params["output"] = w(ks[6], (cfg.vocab_size, cfg.dim))
-    if cfg.fast_dim != cfg.dim:
+    if cfg.fast_dim != cfg.dim and not cfg.is_naive:
         params["fast_project_in"] = {
             "w": w(ks[7], (cfg.fast_dim, cfg.dim)),
             "b": jnp.zeros((cfg.fast_dim,), dtype),
@@ -113,12 +122,18 @@ def convert_dual_ar_state_dict(sd: dict, cfg: DualARConfig,
         "codebook_embeddings": jnp.asarray(sd["codebook_embeddings.weight"], dtype=dtype),
         "layers": _convert_stack(sd, "layers", cfg.n_layer, cfg.slow_attn, dtype),
         "norm": jnp.asarray(sd["norm.weight"], dtype=dtype),
-        "fast_embeddings": jnp.asarray(sd["fast_embeddings.weight"], dtype=dtype),
-        "fast_layers": _convert_stack(sd, "fast_layers", cfg.n_fast_layer,
-                                      cfg.fast_attn, dtype),
-        "fast_norm": jnp.asarray(sd["fast_norm.weight"], dtype=dtype),
-        "fast_output": jnp.asarray(sd["fast_output.weight"], dtype=dtype),
     }
+    if cfg.is_naive:
+        params["codebook_norm"] = jnp.asarray(sd["codebook_norm.weight"], dtype=dtype)
+        params["codebook_output"] = jnp.asarray(sd["codebook_output.weight"], dtype=dtype)
+    else:
+        params.update({
+            "fast_embeddings": jnp.asarray(sd["fast_embeddings.weight"], dtype=dtype),
+            "fast_layers": _convert_stack(sd, "fast_layers", cfg.n_fast_layer,
+                                          cfg.fast_attn, dtype),
+            "fast_norm": jnp.asarray(sd["fast_norm.weight"], dtype=dtype),
+            "fast_output": jnp.asarray(sd["fast_output.weight"], dtype=dtype),
+        })
     if not cfg.tie_word_embeddings:
         params["output"] = jnp.asarray(sd["output.weight"], dtype=dtype)
     if "fast_project_in.weight" in sd:

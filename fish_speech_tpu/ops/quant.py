@@ -26,24 +26,52 @@ def quantize_weight(w: jax.Array) -> dict:
     return {"q": q, "s": scale}
 
 
+def quantize_weight_int4(w: jax.Array, groupsize: int = 128) -> dict:
+    """Groupwise int4 (ref quantize.py WeightOnlyInt4, 300-424): values in a
+    native jnp.int4 tensor, fp32 scale per (out-channel, input-group)."""
+    *lead, out, inner = w.shape
+    assert inner % groupsize == 0, (inner, groupsize)
+    wf = jnp.asarray(w, jnp.float32).reshape(*lead, out, inner // groupsize,
+                                             groupsize)
+    scale = jnp.max(jnp.abs(wf), axis=-1) / 7.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[..., None]), -8, 7)
+    return {"q": q.reshape(*lead, out, inner).astype(jnp.int4),
+            "gs": scale}  # (..., out, inner/groupsize)
+
+
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and "q" in w and "s" in w
+    return isinstance(w, dict) and "q" in w and ("s" in w or "gs" in w)
 
 
 def as_weight(w, dtype=jnp.bfloat16):
     """Materialize (virtually — XLA fuses into the consumer) a usable weight."""
-    if is_quantized(w):
+    if not is_quantized(w):
+        return w
+    if "s" in w:  # per-channel int8
         return w["q"].astype(dtype) * w["s"][..., None].astype(dtype)
-    return w
+    # groupwise int4
+    *lead, out, inner = w["q"].shape
+    groups = w["gs"].shape[-1]
+    deq = (w["q"].astype(dtype).reshape(*lead, out, groups, inner // groups)
+           * w["gs"][..., None].astype(dtype))
+    return deq.reshape(*lead, out, inner)
 
 
 def take_rows(w, idx, dtype=jnp.bfloat16):
     """Embedding-style row gather that dequantizes only the gathered rows."""
-    if is_quantized(w):
+    if not is_quantized(w):
+        return jnp.take(w, idx, axis=0)
+    if "s" in w:
         rows = jnp.take(w["q"], idx, axis=0).astype(dtype)
         scales = jnp.take(w["s"], idx, axis=0).astype(dtype)
         return rows * scales[..., None]
-    return jnp.take(w, idx, axis=0)
+    out, inner = w["q"].shape
+    groups = w["gs"].shape[-1]
+    rows = jnp.take(w["q"], idx, axis=0).astype(dtype)
+    scales = jnp.take(w["gs"], idx, axis=0).astype(dtype)
+    rows = rows.reshape(*rows.shape[:-1], groups, inner // groups)
+    return (rows * scales[..., None]).reshape(*scales.shape[:-1], inner)
 
 
 _LM_QUANT_LEAVES = {"wqkv", "wo", "w1", "w2", "w3"}
@@ -51,10 +79,12 @@ _LM_QUANT_TOP = {"embeddings", "codebook_embeddings", "fast_embeddings",
                  "output", "fast_output"}
 
 
-def quantize_lm_params(params: dict) -> dict:
+def quantize_lm_params(params: dict, mode: str = "int8",
+                       groupsize: int = 128) -> dict:
     """Quantize the Dual-AR parameter pytree's large matrices; norms, biases
     and small projections are cast to bf16 (a quantized model is a deployment
-    artifact — uniform activation dtype keeps scan carries consistent)."""
+    artifact — uniform activation dtype keeps scan carries consistent).
+    mode: "int8" (per-channel) or "int4" (groupwise)."""
 
     def visit(path, w):
         keys = [getattr(p, "key", None) for p in path]
@@ -62,6 +92,8 @@ def quantize_lm_params(params: dict) -> dict:
         target = leaf in _LM_QUANT_LEAVES or (leaf in _LM_QUANT_TOP
                                               and len(keys) == 1)
         if target and w.ndim >= 2:
+            if mode == "int4" and w.shape[-1] % groupsize == 0:
+                return quantize_weight_int4(w, groupsize)
             return quantize_weight(w)
         if jnp.issubdtype(w.dtype, jnp.floating):
             return w.astype(jnp.bfloat16)

@@ -30,17 +30,25 @@ RAS_HIGH_TEMP = 1.0   # ref inference.py:50
 RAS_HIGH_TOP_P = 0.9  # ref inference.py:51
 
 
+def _per_row(x) -> jax.Array:
+    """Normalize a sampling param to broadcast over (B, k): scalar stays
+    scalar, per-row (B,) becomes (B, 1)."""
+    x = jnp.asarray(x, jnp.float32)
+    return x[:, None] if x.ndim == 1 else x
+
+
 def sample_one(key: jax.Array, logits: jax.Array, temperature: jax.Array,
                top_p: jax.Array, top_k: int) -> jax.Array:
-    """Sample one token per row. logits: (B, V) fp32. Returns (B,) int32."""
+    """Sample one token per row. logits: (B, V) fp32; temperature/top_p may
+    be scalars or per-row (B,). Returns (B,) int32."""
     logits = logits.astype(jnp.float32)
     z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)          # full softmax Z
     vals, idx = jax.lax.top_k(logits, top_k)                       # (B, k) desc
     cum = jnp.cumsum(jnp.exp(vals - z), axis=-1)
-    remove = cum > top_p
+    remove = cum > _per_row(top_p)
     remove = remove.at[:, 0].set(False)                            # always keep top-1
     cand = jnp.where(remove, -jnp.inf, vals)
-    cand = cand / jnp.clip(temperature, 1e-5, None)
+    cand = cand / jnp.clip(_per_row(temperature), 1e-5, None)
     probs = jax.nn.softmax(cand, axis=-1)
     u = jax.random.uniform(key, probs.shape, minval=jnp.finfo(jnp.float32).tiny,
                            maxval=1.0)
@@ -65,9 +73,10 @@ def sample_main_and_high(key: jax.Array, logits: jax.Array,
     cum = jnp.cumsum(jnp.exp(vals - z), axis=-1)
 
     def draw(k, temp, tp):
-        remove = cum > tp
+        remove = cum > _per_row(tp)
         remove = remove.at[:, 0].set(False)
-        cand = jnp.where(remove, -jnp.inf, vals) / jnp.clip(temp, 1e-5, None)
+        cand = jnp.where(remove, -jnp.inf, vals) / jnp.clip(_per_row(temp),
+                                                            1e-5, None)
         probs = jax.nn.softmax(cand, axis=-1)
         u = jax.random.uniform(k, probs.shape,
                                minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)

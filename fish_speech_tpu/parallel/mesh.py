@@ -104,8 +104,8 @@ def shard_dual_ar_params(params: dict, mesh: Mesh) -> dict:
 
 
 def kv_cache_spec() -> P:
-    """(L, B, S, H_kv, Dh): batch over data, heads over model."""
-    return P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    """(L, B, H_kv, S, Dh): batch over data, heads over model."""
+    return P(None, DATA_AXIS, MODEL_AXIS, None, None)
 
 
 def shard_batch(x, mesh: Mesh):

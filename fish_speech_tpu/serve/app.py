@@ -71,8 +71,11 @@ class TTSApp:
         self.engine = engine
         self.ref_store = ref_store
         self.api_key = api_key
-        # single model-owner worker: serializes all device work
-        self.executor = ThreadPoolExecutor(max_workers=1,
+        # without the continuous-batching scheduler, one model-owner worker
+        # serializes all device work (ref inference.py:748-799); with it, the
+        # scheduler thread owns decode and request threads may overlap
+        workers = 4 if getattr(engine, "scheduler", None) is not None else 1
+        self.executor = ThreadPoolExecutor(max_workers=workers,
                                            thread_name_prefix="model-worker")
 
     async def _run(self, fn, *args):
@@ -239,6 +242,29 @@ class TTSApp:
         return _respond(request, {"success": True, "reference_ids": ids,
                                   "message": "Success"})
 
+    async def references_update(self, request: web.Request) -> web.Response:
+        raw = await request.read()
+        data = (msgpack.unpackb(raw, raw=False)
+                if request.content_type == "application/msgpack"
+                else json.loads(raw))
+        old_id = data["old_reference_id"] if isinstance(data, dict) else None
+        new_id = data.get("new_reference_id") if isinstance(data, dict) else None
+        if self.ref_store is None or not old_id or not new_id:
+            return web.json_response({"success": False,
+                                      "message": "bad request"}, status=400)
+        import shutil
+
+        src = self.ref_store.root / old_id
+        if not src.is_dir():
+            return _respond(request, {
+                "success": False, "message": "Reference not found",
+                "old_reference_id": old_id, "new_reference_id": new_id})
+        shutil.move(str(src), str(self.ref_store.root / new_id))
+        self.ref_store._id_cache.pop(old_id, None)
+        return _respond(request, {
+            "success": True, "message": "Reference renamed",
+            "old_reference_id": old_id, "new_reference_id": new_id})
+
     async def references_delete(self, request: web.Request) -> web.Response:
         raw = await request.read()
         try:
@@ -270,6 +296,7 @@ class TTSApp:
         app.router.add_post("/v1/vqgan/decode", self.vqgan_decode)
         app.router.add_post("/v1/references/add", self.references_add)
         app.router.add_get("/v1/references/list", self.references_list)
+        app.router.add_post("/v1/references/update", self.references_update)
         app.router.add_delete("/v1/references/delete", self.references_delete)
         return app
 

@@ -115,6 +115,40 @@ class ContentSequence:
                             vq_mask_tokens=vq_mask_tokens,
                             vq_mask_labels=vq_mask_labels, vq_parts=vq_parts)
 
+    def visualize(self, tokenizer, merge_semantic_tokens: bool = True) -> str:
+        """Color-coded token dump (ref content_sequence.py:326-403): green =
+        no loss, blue = contributes to loss; returns the string (and prints)."""
+        encoded = self.encode(tokenizer, add_shift=False)
+        out = []
+        run = 0
+        run_label = None
+
+        def flush():
+            nonlocal run, run_label
+            if run:
+                color = "\033[94m" if run_label != -100 else "\033[92m"
+                out.append(f"{color}[<|semantic|>x{run}]\033[0m")
+                run = 0
+                run_label = None
+
+        for tok, lab in zip(encoded.tokens, encoded.labels):
+            tok = int(tok)
+            semantic = (tokenizer.semantic_begin_id <= tok
+                        <= tokenizer.semantic_end_id)
+            if merge_semantic_tokens and semantic and \
+                    (run == 0 or run_label == int(lab)):
+                run += 1
+                run_label = int(lab)
+                continue
+            flush()
+            val = tokenizer.decode([tok]) or f"<{tok}>"
+            color = "\033[94m" if int(lab) != -100 else "\033[92m"
+            out.append(f"{color}{val}\033[0m")
+        flush()
+        text = "".join(out)
+        print(text)
+        return text
+
     def encode_for_inference(self, tokenizer, num_codebooks: int) -> np.ndarray:
         """-> (num_codebooks+1, T) int32 prompt matrix
         (ref content_sequence.py:282-324)."""

@@ -55,6 +55,13 @@ def save_params(path: str | Path, params: dict, config=None) -> None:
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+    # safetensors has no int4: widen to int8 and record which keys to narrow
+    int4_keys = [k for k, v in flat.items() if str(v.dtype) == "int4"]
+    if int4_keys:
+        flat = {k: (v.astype(np.int8) if k in int4_keys else v)
+                for k, v in flat.items()}
+        (path / "quant_meta.json").write_text(json.dumps(
+            {"int4_keys": int4_keys}))
     save_file(flat, str(path / "model.safetensors"))
     if config is not None:
         import dataclasses
@@ -69,10 +76,17 @@ def load_params(path: str | Path, dtype=None):
 
     path = Path(path)
     flat = load_file(str(path / "model.safetensors"))
-    if dtype is not None:
-        flat = {k: jnp.asarray(v, dtype=dtype) for k, v in flat.items()}
-    else:
-        flat = {k: jnp.asarray(v) for k, v in flat.items()}
+    meta_file = path / "quant_meta.json"
+    int4_keys = (set(json.loads(meta_file.read_text()).get("int4_keys", []))
+                 if meta_file.exists() else set())
+    def restore(k, v):
+        if k in int4_keys:
+            return jnp.asarray(v, dtype=jnp.int4)
+        if dtype is not None and np.issubdtype(v.dtype, np.floating):
+            return jnp.asarray(v, dtype=dtype)  # never recast int8 q-values
+        return jnp.asarray(v)
+
+    flat = {k: restore(k, v) for k, v in flat.items()}
     params = _unflatten(flat)
     config = None
     cfg_file = path / "config.json"

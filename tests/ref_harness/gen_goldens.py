@@ -94,6 +94,47 @@ def gen_lm():
     print("lm_tiny.npz written:", len(sd), "tensors")
 
 
+def gen_naive():
+    import torch
+    import dataclasses as dc
+    from ref_harness import load_reference, random_lm_prompt, state_dict_numpy
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+
+    load_reference()
+    from fish_speech.models.text2semantic.llama import NaiveModelArgs, NaiveTransformer
+
+    cfg = dc.replace(tiny_dual_ar_config(), model_type="naive")
+    args = NaiveModelArgs(
+        vocab_size=cfg.vocab_size, n_layer=cfg.n_layer, n_head=cfg.n_head,
+        n_local_heads=cfg.n_local_heads, dim=cfg.dim, head_dim=cfg.head_dim,
+        intermediate_size=cfg.intermediate_size, max_seq_len=cfg.max_seq_len,
+        codebook_size=cfg.codebook_size, num_codebooks=cfg.num_codebooks,
+        semantic_begin_id=cfg.semantic_begin_id,
+        semantic_end_id=cfg.semantic_end_id,
+        use_gradient_checkpointing=False)
+    torch.manual_seed(7)
+    model = NaiveTransformer(args)
+    model.eval()
+    with torch.no_grad():
+        for name, p in sorted(model.named_parameters()):
+            if "norm" in name and "weight" in name:
+                p.add_(0.05 * torch.randn_like(p))
+            else:
+                p.copy_(0.05 * torch.randn_like(p))
+
+    sd = state_dict_numpy(model)
+    rng = np.random.default_rng(4)
+    prompt = random_lm_prompt(cfg, 18, rng)[None]
+    with torch.no_grad():
+        golden = model(torch.from_numpy(prompt).long())
+    out = {f"sd:{k}": v for k, v in sd.items()}
+    out.update(prompt=prompt,
+               golden_token_logits=golden.token_logits.numpy(),
+               golden_codebook_logits=golden.codebook_logits.numpy())
+    np.savez_compressed(GOLDEN_DIR / "lm_naive.npz", **out)
+    print("lm_naive.npz written:", len(sd), "tensors")
+
+
 if __name__ == "__main__":
     GOLDEN_DIR.mkdir(exist_ok=True)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -101,3 +142,5 @@ if __name__ == "__main__":
         gen_codec()
     if which in ("all", "lm"):
         gen_lm()
+    if which in ("all", "naive"):
+        gen_naive()

@@ -71,3 +71,47 @@ def test_voice_clone_prompt_path():
         prompt_text=["reference"], prompt_tokens=[ref_codes], seed=1)
     samples = [r for r in engine.generate_long(req) if r.action == "sample"]
     assert samples[0].codes.shape[0] == engine.cfg.num_codebooks
+
+
+def test_engine_with_scheduler_concurrent_requests():
+    """Two threads generating through the shared continuous-batching
+    scheduler both complete with valid codes."""
+    import threading
+
+    tok = ByteTokenizer(n_semantic=64)
+    cfg = DualARConfig(
+        vocab_size=tok.vocab_size,
+        n_layer=1, n_head=2, n_local_heads=2, dim=32, head_dim=16,
+        intermediate_size=64, max_seq_len=512,
+        codebook_size=64, num_codebooks=4,
+        semantic_begin_id=tok.semantic_begin_id,
+        semantic_end_id=tok.semantic_end_id,
+        n_fast_layer=1, fast_dim=32, fast_n_head=2, fast_n_local_heads=2,
+        fast_head_dim=16, fast_intermediate_size=64,
+    )
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    ccfg = tiny_codec_config()
+    cparams = init_dac_params(jax.random.key(1), ccfg)
+    engine = TTSEngine(params, cfg, tok, codec_params=cparams, codec_cfg=ccfg,
+                       cache_len=256, scheduler_slots=2)
+    try:
+        results = {}
+
+        def worker(name, text):
+            req = GenerateLongRequest(text=text, max_new_tokens=6, seed=1)
+            samples = [r for r in engine.generate_long(req)
+                       if r.action == "sample"]
+            results[name] = samples[0].codes
+
+        threads = [threading.Thread(target=worker, args=(f"t{i}", f"req {i}"))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert set(results) == {"t0", "t1"}
+        for codes in results.values():
+            assert codes.shape[0] == cfg.num_codebooks
+            assert (codes >= 0).all()
+    finally:
+        engine.scheduler.stop()

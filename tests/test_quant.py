@@ -60,3 +60,45 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["layers"]["attention"]["wqkv"]["q"]),
         np.asarray(loaded["layers"]["attention"]["wqkv"]["q"]))
+
+
+def test_int4_groupwise_roundtrip_and_decode():
+    from fish_speech_tpu.ops.quant import quantize_weight_int4
+
+    w = jax.random.normal(jax.random.key(2), (32, 64)) * 0.05
+    q = quantize_weight_int4(w, groupsize=16)
+    assert str(q["q"].dtype) == "int4"
+    back = as_weight(q, jnp.float32)
+    assert back.shape == w.shape
+    # groupwise int4: max error <= scale/2 within each group
+    err = jnp.abs(back - w)
+    scale_rep = jnp.repeat(q["gs"], 16, axis=-1)
+    assert float(jnp.max(err - scale_rep / 2)) <= 1e-6
+
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    qparams = quantize_lm_params(params, mode="int4", groupsize=16)
+    prompt = random_lm_prompt(cfg, 10, np.random.default_rng(1))
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, 4)
+    codes, _ = generate(
+        qparams, cfg, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+        jax.random.key(0), SamplingConfig.create(), bias,
+        max_new_tokens=4, im_end_id=4, greedy=True, cache_len=64)
+    out = np.asarray(codes)
+    assert (out[:, 1:] >= 0).all() and (out[:, 1:] < cfg.codebook_size).all()
+
+
+def test_int4_checkpoint_roundtrip(tmp_path):
+    from fish_speech_tpu.utils.checkpoint import load_params, save_params
+
+    cfg = tiny_dual_ar_config()
+    params = quantize_lm_params(init_dual_ar_params(jax.random.key(0), cfg),
+                                mode="int4", groupsize=16)
+    save_params(tmp_path / "q4", params, cfg)
+    loaded, _ = load_params(tmp_path / "q4")
+    q = loaded["layers"]["attention"]["wqkv"]["q"]
+    assert str(q.dtype) == "int4"
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"]["attention"]["wqkv"]["q"]).astype(np.int8),
+        np.asarray(q).astype(np.int8))

@@ -62,7 +62,8 @@ def build_engine(args):
         codec_params = init_dac_params(jax.random.key(1), codec_cfg)
 
     return TTSEngine(params, cfg, tokenizer, codec_params=codec_params,
-                     codec_cfg=codec_cfg, cache_len=args.cache_len)
+                     codec_cfg=codec_cfg, cache_len=args.cache_len,
+                     scheduler_slots=getattr(args, "scheduler_slots", 0))
 
 
 def main():
@@ -75,6 +76,8 @@ def main():
     parser.add_argument("--references-dir", default="references")
     parser.add_argument("--api-key", default=None)
     parser.add_argument("--cache-len", type=int, default=2048)
+    parser.add_argument("--scheduler-slots", type=int, default=0,
+                        help=">0 enables continuous batching with N decode slots")
     args = parser.parse_args()
 
     from aiohttp import web

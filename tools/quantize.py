@@ -15,15 +15,20 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", type=Path, required=True)
     p.add_argument("--output", type=Path, default=None,
-                   help="default: <checkpoint>-int8")
+                   help="default: <checkpoint>-<mode>")
+    p.add_argument("--mode", choices=["int8", "int4"], default="int8")
+    p.add_argument("--groupsize", type=int, default=128,
+                   help="int4 group size (ref uses g32/g64/g128)")
     args = p.parse_args()
 
     from fish_speech_tpu.ops.quant import quantize_lm_params
     from fish_speech_tpu.utils.checkpoint import load_params, save_params
 
     params, cfg = load_params(args.checkpoint)
-    quantized = quantize_lm_params(params)
-    out = args.output or args.checkpoint.with_name(args.checkpoint.name + "-int8")
+    quantized = quantize_lm_params(params, mode=args.mode,
+                                   groupsize=args.groupsize)
+    out = args.output or args.checkpoint.with_name(
+        args.checkpoint.name + "-" + args.mode)
     save_params(out, quantized, cfg)
 
     import jax
