@@ -286,3 +286,81 @@ class TTSEngine:
         segs = [r.codes for r in self.generate_long(req) if r.action == "sample"]
         merged = np.concatenate(segs, axis=1)
         return self.decode_codes(merged)
+
+    # -- token-level streaming TTS ----------------------------------------
+    def stream_tts(self, req: GenerateLongRequest,
+                   chunk_frames: int = 16) -> "Iterator[np.ndarray]":
+        """Yield waveform chunks while tokens are still being decoded.
+
+        Requires the continuous-batching scheduler + codec. Audio is emitted
+        every `chunk_frames` acoustic frames (~chunk_frames/21.5 s) through
+        the exact streaming vocoder, so time-to-first-audio is prefill + one
+        chunk of decoding instead of a whole segment (contrast the
+        reference's per-segment handoff, inference_engine/__init__.py:86-119).
+        """
+        import queue as _queue
+
+        from ..codec.streaming import StreamingVocoder
+        from .scheduler import SlotRequest
+
+        assert self.scheduler is not None, "stream_tts needs scheduler_slots>0"
+        assert self.codec_params is not None, "no codec attached"
+
+        conversation = build_base_conversation(req.prompt_text, req.prompt_tokens)
+        turns = split_text_by_speaker(req.text)
+        batches = (group_turns_into_batches(turns, max_speakers=5,
+                                            max_bytes=req.chunk_length)
+                   if turns else [req.text])
+
+        vocoder = StreamingVocoder(self.codec_params, self.codec_cfg,
+                                   chunk_frames=chunk_frames)
+        for batch_text in batches:
+            conversation.append(Message(
+                role="user", parts=[TextPart(text=batch_text)],
+                add_im_start=True, add_im_end=True))
+            conv_gen = conversation.copy()
+            conv_gen.append(Message(role="assistant", parts=[],
+                                    modality="voice", add_im_start=True,
+                                    add_im_end=False))
+            encoded = conv_gen.encode_for_inference(
+                self.tokenizer, num_codebooks=self.cfg.num_codebooks)
+
+            cols: "_queue.Queue" = _queue.Queue()
+            self._next_request_id += 1
+            max_new = req.max_new_tokens or (self.cache_len
+                                             - encoded.shape[1] - 1)
+            slot_req = SlotRequest(
+                request_id=self._next_request_id, prompt=encoded,
+                max_new_tokens=max_new, temperature=req.temperature,
+                top_p=req.top_p,
+                on_token=lambda rid, col: cols.put(col))
+            self.scheduler.submit(slot_req)
+
+            pending: list[np.ndarray] = []
+            done = False
+            while not done or not cols.empty():
+                try:
+                    col = cols.get(timeout=0.05)
+                    pending.append(col[1:])  # drop the token row
+                except _queue.Empty:
+                    done = slot_req.done.is_set()
+                    continue
+                if len(pending) >= chunk_frames:
+                    for wav in vocoder.feed(np.stack(pending, axis=1)):
+                        yield wav
+                    pending = []
+                done = done or slot_req.done.is_set()
+            if slot_req.error is not None:
+                raise slot_req.error
+            if pending:
+                for wav in vocoder.feed(np.stack(pending, axis=1)):
+                    yield wav
+            # segment boundary: append assistant turn for voice consistency
+            if slot_req.result:
+                seg_codes = np.stack(slot_req.result, axis=1)[1:]
+                conversation.append(Message(
+                    role="assistant", parts=[VQPart(codes=seg_codes)],
+                    modality="voice", add_im_start=True, add_im_end=True))
+        # flush vocoder tail
+        for wav in vocoder.feed(final=True):
+            yield wav

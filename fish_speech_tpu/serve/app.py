@@ -192,11 +192,17 @@ class TTSApp:
 
             def produce():
                 try:
-                    for r in self.engine.generate_long(gen_req):
-                        if r.action == "sample":
-                            wav = self.engine.decode_codes(r.codes)
+                    if self.engine.scheduler is not None:
+                        # token-level streaming: audio every ~16 frames
+                        for wav in self.engine.stream_tts(gen_req):
                             loop.call_soon_threadsafe(
                                 queue.put_nowait, float_to_pcm16(wav))
+                    else:
+                        for r in self.engine.generate_long(gen_req):
+                            if r.action == "sample":
+                                wav = self.engine.decode_codes(r.codes)
+                                loop.call_soon_threadsafe(
+                                    queue.put_nowait, float_to_pcm16(wav))
                     loop.call_soon_threadsafe(queue.put_nowait, None)
                 except Exception as e:  # surface errors to the stream consumer
                     loop.call_soon_threadsafe(queue.put_nowait, e)

@@ -115,3 +115,43 @@ def test_engine_with_scheduler_concurrent_requests():
             assert (codes >= 0).all()
     finally:
         engine.scheduler.stop()
+
+
+def test_stream_tts_matches_batch_decode():
+    """Token-level streaming must produce the same waveform as decoding the
+    same codes in one shot (greedy scheduler for determinism)."""
+    tok = ByteTokenizer(n_semantic=64)
+    cfg = DualARConfig(
+        vocab_size=tok.vocab_size,
+        n_layer=1, n_head=2, n_local_heads=2, dim=32, head_dim=16,
+        intermediate_size=64, max_seq_len=512,
+        codebook_size=64, num_codebooks=4,
+        semantic_begin_id=tok.semantic_begin_id,
+        semantic_end_id=tok.semantic_end_id,
+        n_fast_layer=1, fast_dim=32, fast_n_head=2, fast_n_local_heads=2,
+        fast_head_dim=16, fast_intermediate_size=64,
+    )
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    ccfg = tiny_codec_config()
+    cparams = init_dac_params(jax.random.key(1), ccfg)
+    engine = TTSEngine(params, cfg, tok, codec_params=cparams, codec_cfg=ccfg,
+                       cache_len=256, scheduler_slots=1)
+    engine.scheduler.batcher.greedy = True
+    engine.scheduler.batcher._tick_fn = engine.scheduler.batcher._build_tick()
+    engine.scheduler.batcher._prefill_fn = engine.scheduler.batcher._build_prefill()
+    try:
+        req = GenerateLongRequest(text="hello stream", max_new_tokens=12, seed=3)
+        chunks = list(engine.stream_tts(req, chunk_frames=4))
+        assert len(chunks) >= 1
+        streamed = np.concatenate(chunks)
+
+        # same codes decoded in one shot (greedy => same token stream)
+        req2 = GenerateLongRequest(text="hello stream", max_new_tokens=12, seed=3)
+        segs = [r.codes for r in engine.generate_long(req2)
+                if r.action == "sample"]
+        full = engine.decode_codes(np.concatenate(segs, axis=1))
+        n = min(len(streamed), len(full))
+        assert n > 0
+        np.testing.assert_allclose(streamed[:n], full[:n], atol=1e-5)
+    finally:
+        engine.scheduler.stop()
