@@ -37,9 +37,13 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
+        # default = best verified serving config: int8 weight-only (the
+        # reference ships the same PTQ mode), batch 64, cache 384.
+        # BENCH_QUANT=0 BENCH_BATCH=32 BENCH_CACHE=512 gives the pure-bf16
+        # configuration (36 audio-s/s); see README for the matrix.
         cfg = s2_pro_lm_config(max_seq_len=2048)
-        batch = int(os.environ.get("BENCH_BATCH", "32"))
-        cache_len = int(os.environ.get("BENCH_CACHE", "512"))
+        batch = int(os.environ.get("BENCH_BATCH", "64"))
+        cache_len = int(os.environ.get("BENCH_CACHE", "384"))
         warmup, iters = 1, 3
         steps_per_call = 32
     else:  # CPU smoke fallback
@@ -50,13 +54,17 @@ def main():
 
     key = jax.random.key(0)
     params = init_dual_ar_params(key, cfg, dtype=jnp.bfloat16)
-    if os.environ.get("BENCH_QUANT") == "1":
+    if os.environ.get("BENCH_QUANT", "1" if on_tpu else "0") == "1":
         from fish_speech_tpu.ops.quant import quantize_lm_params
 
         params = jax.jit(quantize_lm_params)(params)
         print("# int8 weight-only quantized", file=sys.stderr)
+    kv_dtype = jnp.bfloat16
+    if os.environ.get("BENCH_KV") == "int8":
+        kv_dtype = jnp.int8
+        print("# int8 KV cache", file=sys.stderr)
     cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,
-                           cfg.head_dim)
+                           cfg.head_dim, dtype=kv_dtype)
     freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
     fast_freqs = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
                                       cfg.rope_base)
@@ -76,29 +84,28 @@ def main():
     # Run steps_per_call decode steps inside ONE jitted program so the host
     # (and the axon tunnel) dispatches once per chunk, exactly like the
     # production while_loop in models/decode.py.
-    @partial(jax.jit, donate_argnums=(1, 2))
-    def run_chunk(params, cache_k, cache_v, cur, pos, key):
+    @partial(jax.jit, donate_argnums=(1,))
+    def run_chunk(params, cache, cur, pos, key):
         def body(i, carry):
-            ck, cv, cur, key = carry
+            cache, cur, key = carry
             key, sub = jax.random.split(key)
             col, new_cache = decode_one_token(
-                params, cfg, cur, KVCache(ck, cv), pos + i, freqs,
+                params, cfg, cur, cache, pos + i, freqs,
                 fast_freqs, bias, sub, sampling, prev_win,
                 top_k=30, greedy=False)
-            return new_cache.k, new_cache.v, col[:, :, None], key
+            return new_cache, col[:, :, None], key
 
-        ck, cv, cur, key = jax.lax.fori_loop(
-            0, steps_per_call, body, (cache_k, cache_v, cur, key))
-        return ck, cv, cur
+        cache, cur, key = jax.lax.fori_loop(
+            0, steps_per_call, body, (cache, cur, key))
+        return cache, cur
 
     cur = jnp.zeros((batch, cfg.num_codebooks + 1, 1), jnp.int32)
-    ck, cv = cache.k, cache.v
     pos = jnp.int32(128)
 
     t_compile = time.perf_counter()
     for i in range(warmup):
         key, sub = jax.random.split(key)
-        ck, cv, cur = run_chunk(params, ck, cv, cur, pos, sub)
+        cache, cur = run_chunk(params, cache, cur, pos, sub)
         pos = pos + steps_per_call
     jax.block_until_ready(cur)
     compile_s = time.perf_counter() - t_compile
@@ -106,7 +113,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(iters):
         key, sub = jax.random.split(key)
-        ck, cv, cur = run_chunk(params, ck, cv, cur, pos, sub)
+        cache, cur = run_chunk(params, cache, cur, pos, sub)
         pos = pos + steps_per_call
     jax.block_until_ready(cur)
     dt = time.perf_counter() - t0

@@ -66,7 +66,10 @@ class ContinuousBatcher:
         self.greedy = greedy
         self.prompt_bucket = prompt_bucket
 
-        dtype = param_dtype(params)
+        import jax.numpy as _jnp
+
+        dtype = (_jnp.int8 if cfg.kv_cache_dtype == "int8"
+                 else param_dtype(params))
         self.cache = KVCache.create(cfg.n_layer, num_slots, cache_len,
                                     cfg.n_local_heads, cfg.head_dim, dtype)
         self.freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
@@ -94,13 +97,13 @@ class ContinuousBatcher:
     def _build_tick(self):
         cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
 
-        @jax.jit
-        def tick(params, cache_k, cache_v, cur, pos, start, active, prev_win,
+        @partial(jax.jit, donate_argnums=(1,))
+        def tick(params, cache, cur, pos, start, active, prev_win,
                  key, bias, sampling):
             rope_pos = (pos - start)[:, None]
             key, sub = jax.random.split(key)
             col, new_cache = decode_one_token(
-                params, cfg, cur[:, :, None], KVCache(cache_k, cache_v), pos,
+                params, cfg, cur[:, :, None], cache, pos,
                 self.freqs, self.fast_freqs, bias, sub, sampling, prev_win,
                 top_k=top_k, greedy=greedy, rope_positions=rope_pos,
                 key_valid_from=start)
@@ -110,34 +113,39 @@ class ContinuousBatcher:
             new_win = jnp.where(active[:, None],
                                 push_window(prev_win, col[:, 0]), prev_win)
             finished = active & (col[:, 0] == self.im_end_id)
-            return new_cache.k, new_cache.v, col, new_pos, new_win, finished, key
+            return new_cache, col, new_pos, new_win, finished, key
 
         return tick
 
     def _build_prefill(self):
         cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
 
-        @partial(jax.jit, static_argnames=("t",), donate_argnums=(1, 2))
-        def prefill(params, cache_k, cache_v, prompt, slot, start_offset, key,
+        @partial(jax.jit, static_argnames=("t",), donate_argnums=(1,))
+        def prefill(params, cache, prompt, slot, start_offset, key,
                     bias, sampling, t):
-            l, _, s, h, d = cache_k.shape
-            sub_k = jax.lax.dynamic_slice(cache_k, (0, slot, 0, 0, 0),
-                                          (l, 1, s, h, d))
-            sub_v = jax.lax.dynamic_slice(cache_v, (0, slot, 0, 0, 0),
-                                          (l, 1, s, h, d))
+            def slice_slot(a):
+                if a is None:
+                    return None
+                starts = (0, slot) + (0,) * (a.ndim - 2)
+                sizes = (a.shape[0], 1) + a.shape[2:]
+                return jax.lax.dynamic_slice(a, starts, sizes)
+
+            sub = jax.tree.map(slice_slot, cache)
             rope_pos = jnp.maximum(
                 jnp.arange(t, dtype=jnp.int32)[None, :] - start_offset, 0)
             col, new_sub = decode_one_token(
-                params, cfg, prompt, KVCache(sub_k, sub_v), jnp.int32(0),
+                params, cfg, prompt, sub, jnp.int32(0),
                 self.freqs, self.fast_freqs, bias, key, sampling, None,
                 top_k=top_k, greedy=greedy, rope_positions=rope_pos,
                 key_valid_from=start_offset[None] if start_offset.ndim == 0
                 else start_offset)
-            cache_k = jax.lax.dynamic_update_slice(cache_k, new_sub.k,
-                                                   (0, slot, 0, 0, 0))
-            cache_v = jax.lax.dynamic_update_slice(cache_v, new_sub.v,
-                                                   (0, slot, 0, 0, 0))
-            return cache_k, cache_v, col[0]
+
+            def write_slot(full, part):
+                starts = (0, slot) + (0,) * (full.ndim - 2)
+                return jax.lax.dynamic_update_slice(full, part, starts)
+
+            cache = jax.tree.map(write_slot, cache, new_sub)
+            return cache, col[0]
 
         return prefill
 
@@ -156,12 +164,11 @@ class ContinuousBatcher:
         self.temp = self.temp.at[slot].set(req.temperature)
         self.top_p = self.top_p.at[slot].set(req.top_p)
         self.key, sub = jax.random.split(self.key)
-        ck, cv, col = self._prefill_fn(
-            self.params, self.cache.k, self.cache.v,
+        self.cache, col = self._prefill_fn(
+            self.params, self.cache,
             jnp.asarray(padded)[None], jnp.int32(slot), jnp.int32(start),
             sub, self.bias, SamplingConfig(jnp.float32(req.temperature),
                                            jnp.float32(req.top_p)), bucket)
-        self.cache = KVCache(ck, cv)
 
         self.cur = self.cur.at[slot].set(col)
         self.pos = self.pos.at[slot].set(bucket)
@@ -190,11 +197,10 @@ class ContinuousBatcher:
 
     def step(self) -> None:
         """One decode tick for all active slots + host bookkeeping."""
-        ck, cv, col, pos, win, finished, self.key = self._tick_fn(
-            self.params, self.cache.k, self.cache.v, self.cur, self.pos,
+        self.cache, col, pos, win, finished, self.key = self._tick_fn(
+            self.params, self.cache, self.cur, self.pos,
             self.start, self.active, self.prev_win, self.key, self.bias,
             SamplingConfig(self.temp, self.top_p))
-        self.cache = KVCache(ck, cv)
         self.cur, self.pos, self.prev_win = col, pos, win
 
         col_h = np.asarray(col)

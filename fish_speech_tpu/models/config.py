@@ -70,6 +70,9 @@ class DualARConfig:
     # route T=1 cached attention through the Pallas decode kernel
     # (ops/attention.py) instead of the XLA einsum path
     use_pallas_attention: bool = False
+    # "native" (params dtype) or "int8": quantized KV cache halves the cache
+    # bandwidth that dominates decode at large batch*seq
+    kv_cache_dtype: str = "native"
 
     def __post_init__(self):
         s = lambda k, v: object.__setattr__(self, k, v)

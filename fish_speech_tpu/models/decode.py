@@ -166,7 +166,8 @@ def generate(params: dict, cfg: DualARConfig, prompt: jax.Array,
     s = cache_len or cfg.max_seq_len
     from .dual_ar import param_dtype
 
-    dtype = param_dtype(params)
+    dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
+             else param_dtype(params))
     cache = KVCache.create(cfg.n_layer, b, s, cfg.n_local_heads, cfg.head_dim,
                            dtype=dtype)
     freqs_table = precompute_freqs_cis(s, cfg.head_dim, cfg.rope_base)

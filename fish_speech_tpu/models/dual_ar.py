@@ -75,19 +75,28 @@ def apply_rotary_emb(x: jax.Array, freqs_cis: jax.Array) -> jax.Array:
 class KVCache(NamedTuple):
     k: jax.Array  # (L, B, H_kv, S, Dh) — head-major so one head's stripe is
     v: jax.Array  # contiguous (the Pallas decode kernel DMAs (S, Dh) blocks)
+    # int8 cache mode: per-(layer, row, head, position) dequant scales
+    ks: jax.Array | None = None  # (L, B, H_kv, S) f32
+    vs: jax.Array | None = None
 
     @staticmethod
     def create(n_layer: int, batch: int, seq: int, n_kv: int, head_dim: int,
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (n_layer, batch, n_kv, seq, head_dim)
-        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        k = jnp.zeros(shape, dtype)
+        v = jnp.zeros(shape, dtype)
+        if dtype == jnp.int8:
+            sc = jnp.zeros(shape[:-1], jnp.float32)
+            return KVCache(k, v, sc, sc)
+        return KVCache(k, v)
 
 
 def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
-              mask: jax.Array, cache_k: jax.Array | None = None,
-              cache_v: jax.Array | None = None, input_pos: jax.Array | None = None,
+              mask: jax.Array, cache: "KVCache | None" = None,
+              input_pos: jax.Array | None = None,
               pallas_bounds: tuple | None = None):
-    """Returns (out, new_cache_k, new_cache_v). mask: (B or 1, 1, Tq, S) bool.
+    """Returns (out, new_cache). cache holds per-layer (B, H_kv, S, D) slices
+    (+ scales in int8 mode). mask: (B or 1, 1, Tq, S) bool.
     pallas_bounds: optional (lengths (B,), starts (B,)) — routes the T=1
     cached case through the Pallas decode kernel instead of the einsum path."""
     b, t, _ = x.shape
@@ -107,16 +116,32 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     q = apply_rotary_emb(q, freqs_cis)
     k = apply_rotary_emb(k, freqs_cis)
 
-    if cache_k is not None:
+    new_cache = cache
+    if cache is not None:
+        int8_cache = cache.k.dtype == jnp.int8
         # cache layout (B, H_kv, S, D); new k/v arrive as (B, T, H_kv, D)
-        kt = k.transpose(0, 2, 1, 3).astype(cache_k.dtype)
-        vt = v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        if int8_cache:
+            # per-(row, head, position) symmetric int8 — halves cache
+            # bandwidth, which dominates the step at large batch*seq
+            k_sc = jnp.maximum(jnp.max(jnp.abs(kt.astype(jnp.float32)),
+                                       axis=-1) / 127.0, 1e-8)
+            v_sc = jnp.maximum(jnp.max(jnp.abs(vt.astype(jnp.float32)),
+                                       axis=-1) / 127.0, 1e-8)
+            kt = jnp.round(kt.astype(jnp.float32) / k_sc[..., None])
+            vt = jnp.round(vt.astype(jnp.float32) / v_sc[..., None])
+        kt = kt.astype(cache.k.dtype)
+        vt = vt.astype(cache.v.dtype)
         if jnp.ndim(input_pos) == 0:
             # all rows write the same slot range (single-utterance / prefill)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, kt, (0, 0, input_pos, 0))
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, vt, (0, 0, input_pos, 0))
+            ck = jax.lax.dynamic_update_slice(cache.k, kt, (0, 0, input_pos, 0))
+            cv = jax.lax.dynamic_update_slice(cache.v, vt, (0, 0, input_pos, 0))
+            if int8_cache:
+                cks = jax.lax.dynamic_update_slice(cache.ks, k_sc,
+                                                   (0, 0, input_pos))
+                cvs = jax.lax.dynamic_update_slice(cache.vs, v_sc,
+                                                   (0, 0, input_pos))
         else:
             # per-row write positions (continuous batching: slots decode at
             # different sequence offsets) — scatter along the seq axis; two
@@ -124,15 +149,26 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             # value layout is exactly k/v's native (B, T, H_kv, D)
             rows = jnp.arange(b)[:, None]
             cols = input_pos[:, None] + jnp.arange(t)[None, :]
-            cache_k = cache_k.at[rows, :, cols].set(k.astype(cache_k.dtype))
-            cache_v = cache_v.at[rows, :, cols].set(v.astype(cache_v.dtype))
-        k, v = cache_k, cache_v
+            ck = cache.k.at[rows, :, cols].set(
+                kt.transpose(0, 2, 1, 3).astype(cache.k.dtype))
+            cv = cache.v.at[rows, :, cols].set(
+                vt.transpose(0, 2, 1, 3).astype(cache.v.dtype))
+            if int8_cache:
+                cks = cache.ks.at[rows, :, cols].set(k_sc.transpose(0, 2, 1))
+                cvs = cache.vs.at[rows, :, cols].set(v_sc.transpose(0, 2, 1))
+        if int8_cache:
+            new_cache = KVCache(ck, cv, cks, cvs)
+            k = ck.astype(x.dtype) * cks[..., None].astype(x.dtype)
+            v = cv.astype(x.dtype) * cvs[..., None].astype(x.dtype)
+        else:
+            new_cache = KVCache(ck, cv)
+            k, v = ck, cv
 
     # GQA: group query heads over kv heads
     g = h // hkv
     qg = q.reshape(b, t, hkv, g, d)
     scale = 1.0 / math.sqrt(d)
-    if pallas_bounds is not None and cache_k is not None and t == 1:
+    if pallas_bounds is not None and cache is not None and t == 1:
         from ..ops.attention import pallas_decode_attention
 
         lengths, starts = pallas_bounds
@@ -141,8 +177,8 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
         out = y @ as_weight(p["wo"], x.dtype).T
         if ad.o_bias:
             out = out + p["wo_b"]
-        return out, cache_k, cache_v
-    if cache_k is not None:
+        return out, new_cache
+    if cache is not None:
         scores = jnp.einsum("bqhgd,bhkd->bhgqk", qg, k) * scale
     else:
         scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) * scale
@@ -151,7 +187,7 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     scores = jnp.where(mask[:, :, None, :, :],
                        scores.astype(jnp.float32), jnp.float32(-1e30))
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    if cache_k is not None:
+    if cache is not None:
         y = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v)
     else:
         y = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
@@ -159,7 +195,7 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     out = y @ as_weight(p["wo"], x.dtype).T
     if ad.o_bias:
         out = out + p["wo_b"]
-    return out, cache_k, cache_v
+    return out, new_cache
 
 
 def _ffn(p: dict, x: jax.Array) -> jax.Array:
@@ -170,13 +206,13 @@ def _ffn(p: dict, x: jax.Array) -> jax.Array:
 
 
 def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
-           cache_k=None, cache_v=None, input_pos=None, pallas_bounds=None):
-    a, ck, cv = attention(p["attention"], ad, rms_norm(x, p["attention_norm"], eps),
-                          freqs_cis, mask, cache_k, cache_v, input_pos,
-                          pallas_bounds)
+           cache=None, input_pos=None, pallas_bounds=None):
+    a, new_cache = attention(p["attention"], ad,
+                             rms_norm(x, p["attention_norm"], eps),
+                             freqs_cis, mask, cache, input_pos, pallas_bounds)
     h = x + a
     out = h + _ffn(p["feed_forward"], rms_norm(h, p["ffn_norm"], eps))
-    return out, ck, cv
+    return out, new_cache
 
 
 def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
@@ -190,7 +226,7 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
     (decode is weight-bandwidth-bound)."""
     if cache is None:
         def step(h, layer_p):
-            out, _, _ = _block(layer_p, ad, eps, h, freqs_cis, mask)
+            out, _ = _block(layer_p, ad, eps, h, freqs_cis, mask)
             return out, None
         if remat:
             step = jax.checkpoint(step)
@@ -202,25 +238,26 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
         # a static-index dynamic_update_slice on the SAME buffer, which XLA
         # aliases in place — the scan path below materializes a second full
         # cache (xs + ys), doubling KV memory at large batch.
-        nk, nv = cache.k, cache.v
+        acc = cache
         n_layer = jax.tree.leaves(layers)[0].shape[0]
         for i in range(n_layer):
             layer_p = jax.tree.map(lambda a: a[i], layers)
-            x, ck, cv = _block(layer_p, ad, eps, x, freqs_cis, mask,
-                               nk[i], nv[i], input_pos, pallas_bounds)
-            nk = jax.lax.dynamic_update_index_in_dim(nk, ck, i, 0)
-            nv = jax.lax.dynamic_update_index_in_dim(nv, cv, i, 0)
-        return x, KVCache(nk, nv)
+            layer_cache = jax.tree.map(lambda a: a[i], acc)
+            x, new_lc = _block(layer_p, ad, eps, x, freqs_cis, mask,
+                               layer_cache, input_pos, pallas_bounds)
+            acc = jax.tree.map(
+                lambda full, lc: jax.lax.dynamic_update_index_in_dim(
+                    full, lc, i, 0), acc, new_lc)
+        return x, acc
 
     def step(h, xs):
-        layer_p, ck, cv = xs
-        out, ck, cv = _block(layer_p, ad, eps, h, freqs_cis, mask, ck, cv,
+        layer_p, layer_cache = xs
+        out, new_lc = _block(layer_p, ad, eps, h, freqs_cis, mask, layer_cache,
                              input_pos, pallas_bounds)
-        return out, (ck, cv)
+        return out, new_lc
 
-    x, (nk, nv) = jax.lax.scan(step, x, (layers, cache.k, cache.v),
-                               unroll=unroll)
-    return x, KVCache(nk, nv)
+    x, new_cache = jax.lax.scan(step, x, (layers, cache), unroll=unroll)
+    return x, new_cache
 
 
 # ---------------------------------------------------------------------------

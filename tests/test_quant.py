@@ -102,3 +102,30 @@ def test_int4_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["layers"]["attention"]["wqkv"]["q"]).astype(np.int8),
         np.asarray(q).astype(np.int8))
+
+
+def test_int8_kv_cache_decode_tracks_fp():
+    """int8 KV cache decode must run and (on a tiny greedy model) produce the
+    same first tokens as the bf16 cache — the first steps have tiny caches so
+    quantization error is negligible."""
+    import dataclasses
+
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    prompt = random_lm_prompt(cfg, 12, np.random.default_rng(7))
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, 4)
+
+    def run(c):
+        codes, _ = generate(
+            params, c, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+            jax.random.key(0), SamplingConfig.create(), bias,
+            max_new_tokens=6, im_end_id=4, greedy=True, cache_len=64)
+        return np.asarray(codes)
+
+    fp = run(cfg)
+    q = run(dataclasses.replace(cfg, kv_cache_dtype="int8"))
+    assert q.shape == fp.shape
+    # main-token stream should agree for at least the first few columns
+    assert (q[0, 0, :2] == fp[0, 0, :2]).all()
+    assert (q[:, 1:] >= 0).all() and (q[:, 1:] < cfg.codebook_size).all()

@@ -95,3 +95,34 @@ def test_streaming_token_hook():
     out = batcher.run([req])
     assert len(seen) == out[7].shape[1]
     assert all(rid == 7 for rid, _ in seen)
+
+
+def test_multihost_plan_roundtrip_and_apply():
+    """TickPlan serialization + single-host apply path (the broadcast is a
+    no-op with one process)."""
+    from fish_speech_tpu.serve.multihost import (
+        SlotAssignment, TickPlan, apply_plan, broadcast_plan)
+
+    cfg, params, bias = _setup()
+    rng = np.random.default_rng(9)
+    batcher = ContinuousBatcher(
+        params, cfg, num_slots=2, cache_len=128, im_end_id=IM_END,
+        bias=bias, greedy=True, prompt_bucket=32)
+
+    plan = TickPlan(assignments=[
+        SlotAssignment(slot=0, request_id=1,
+                       prompt=random_lm_prompt(cfg, 8, rng),
+                       max_new_tokens=5, temperature=0.7, top_p=0.7)],
+        n_ticks=4)
+    restored = TickPlan.from_bytes(plan.to_bytes())
+    assert restored.n_ticks == 4
+    np.testing.assert_array_equal(restored.assignments[0].prompt,
+                                  plan.assignments[0].prompt)
+
+    same = broadcast_plan(plan)  # single-process no-op
+    registry = {}
+    apply_plan(batcher, same, registry)
+    # 1 prefill column + up to 4 ticks emitted
+    req = batcher.slot_req[0]
+    if req is not None:
+        assert len(req.result) >= 1

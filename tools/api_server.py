@@ -12,6 +12,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from fish_speech_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 
 def build_engine(args):
     import jax

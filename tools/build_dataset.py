@@ -13,6 +13,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from fish_speech_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 from fish_speech_tpu.data.protos import Semantics, Sentence, TextData  # noqa: E402
 from fish_speech_tpu.data.stream import pack_pb_stream  # noqa: E402
 from fish_speech_tpu.utils.file import list_files  # noqa: E402

@@ -13,6 +13,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from fish_speech_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 
 def main():
     p = argparse.ArgumentParser()

@@ -18,6 +18,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from fish_speech_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 from fish_speech_tpu.utils.file import AUDIO_EXTENSIONS, list_files  # noqa: E402
 
 

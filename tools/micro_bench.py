@@ -13,6 +13,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from fish_speech_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 import jax
 import jax.numpy as jnp
 
