@@ -24,6 +24,11 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the 4B decode program takes minutes to build
+# cold; cached, re-runs warm up in seconds
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 FRAME_RATE = 44100.0 / 2048.0          # ≈ 21.53 acoustic tokens/s
 BASELINE_AUDIO_S_PER_S = 1.0 / 0.195   # reference RTF on 1x H200
 

@@ -93,3 +93,17 @@ def test_init_params_smoke():
     assert wav.shape == (1, 4 * cfg.frame_length)
     enc = dac_encode(p, cfg, wav)
     assert enc.codes.shape[1] == cfg.rvq.total_codebooks
+
+
+def test_mel_allclose_vs_reference(golden, params):
+    """BASELINE.md headline quality target: >=0.99 mel allclose between our
+    vocoder output and the reference's, using the reference's own mel
+    parameters (utils/spectrogram.py)."""
+    from fish_speech_tpu.utils.spectrogram import mel_similarity
+
+    cfg = tiny_codec_config()
+    ours = np.asarray(dac_from_indices(params, cfg,
+                                       jnp.asarray(golden["codes1"])))
+    ref = golden["golden_audio"][:, 0, :]
+    score = min(mel_similarity(ours[i], ref[i]) for i in range(ours.shape[0]))
+    assert score >= 0.99, f"mel allclose {score}"

@@ -17,6 +17,16 @@ from fish_speech_tpu.utils.platform import apply_platform_env  # noqa: E402
 apply_platform_env()
 
 
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+_enable_compile_cache()
+
+
 def build_engine(args):
     import jax
     import jax.numpy as jnp
