@@ -227,7 +227,6 @@ class TTSEngine:
                    if turns else [req.text])
 
         key = jax.random.key(req.seed)
-        sampling = SamplingConfig.create(req.temperature, req.top_p)
 
         for batch_idx, batch_text in enumerate(batches):
             conversation.append(Message(

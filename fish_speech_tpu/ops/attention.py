@@ -78,6 +78,95 @@ def pallas_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array
     )(bounds, q, k_cache, v_cache)
 
 
+def _decode_attn_chunked_kernel(bounds_ref, q_ref, k_hbm, v_hbm, o_ref, *,
+                                scale, chunk, seq):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    length = bounds_ref[b, 0]
+    start = bounds_ref[b, 1]
+
+    def inner(sk, sv, sem_k, sem_v):
+        q = q_ref[0, 0].astype(jnp.float32)                 # (G, D)
+        g, d = q.shape
+        c0 = start // chunk
+        c1 = pl.cdiv(length, chunk)
+
+        def body(ci, carry):
+            m, l, acc = carry
+            dk = pltpu.make_async_copy(
+                k_hbm.at[b, h, pl.ds(ci * chunk, chunk)], sk, sem_k)
+            dv = pltpu.make_async_copy(
+                v_hbm.at[b, h, pl.ds(ci * chunk, chunk)], sv, sem_v)
+            dk.start()
+            dv.start()
+            dk.wait()
+            dv.wait()
+            kc = sk[:].astype(jnp.float32)                   # (chunk, D)
+            s = jnp.dot(q, kc.T, preferred_element_type=jnp.float32) * scale
+            pos = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            valid = (pos < length) & (pos >= start)
+            s = jnp.where(valid, s, jnp.float32(-1e30))
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * corr + jnp.dot(
+                p, sv[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((g, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((g, 1), jnp.float32)
+        a0 = jnp.zeros((g, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(c0, c1, body, (m0, l0, a0))
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+    pl.run_scoped(
+        inner,
+        sk=pltpu.VMEM((chunk, q_ref.shape[-1]), k_hbm.dtype),
+        sv=pltpu.VMEM((chunk, q_ref.shape[-1]), v_hbm.dtype),
+        sem_k=pltpu.SemaphoreType.DMA(()),
+        sem_v=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk", "interpret"))
+def pallas_decode_attention_chunked(q: jax.Array, k_cache: jax.Array,
+                                    v_cache: jax.Array, lengths: jax.Array,
+                                    starts: jax.Array, chunk: int = 128,
+                                    interpret: bool | None = None) -> jax.Array:
+    """Length-aware decode attention: DMAs only the FILLED cache chunks
+    (`start..length` per row) instead of the whole stripe — at fill f the
+    cache traffic drops by S/f, which is what dominates the step at large
+    batch. Flash-style online softmax over chunks; numerics match
+    `xla_decode_attention` exactly up to fp reordering."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hkv, g, d = q.shape
+    s = k_cache.shape[2]
+    assert s % chunk == 0, (s, chunk)
+    scale = 1.0 / math.sqrt(d)
+    bounds = jnp.stack([lengths.astype(jnp.int32),
+                        starts.astype(jnp.int32)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), lambda bb, hh, bounds: (bb, hh, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda bb, hh, bounds: (bb, hh, 0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_decode_attn_chunked_kernel, scale=scale, chunk=chunk, seq=s),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        interpret=interpret,
+    )(bounds, q, k_cache, v_cache)
+
+
 def xla_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                          lengths: jax.Array, starts: jax.Array) -> jax.Array:
     """Reference XLA path with identical semantics (used on CPU + in tests)."""

@@ -88,6 +88,23 @@ def sample_main_and_high(key: jax.Array, logits: jax.Array,
             draw(k2, jnp.float32(RAS_HIGH_TEMP), jnp.float32(RAS_HIGH_TOP_P)))
 
 
+def sampling_probs(logits: jax.Array, temperature: jax.Array,
+                   top_p: jax.Array, top_k: int) -> jax.Array:
+    """Full-vocab probability vector this sampler draws from (candidate probs
+    scattered back) — used to verify distribution parity against the
+    reference's `logits_to_probs` (inference.py:54-77) without randomness."""
+    logits = logits.astype(jnp.float32)
+    z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    vals, idx = jax.lax.top_k(logits, top_k)
+    cum = jnp.cumsum(jnp.exp(vals - z), axis=-1)
+    remove = (cum > _per_row(top_p)).at[:, 0].set(False)
+    cand = jnp.where(remove, -jnp.inf, vals) / jnp.clip(_per_row(temperature),
+                                                        1e-5, None)
+    probs = jax.nn.softmax(cand, axis=-1)
+    full = jnp.zeros_like(logits)
+    return jnp.put_along_axis(full, idx, probs, axis=-1, inplace=False)
+
+
 @partial(jax.jit, static_argnames=("top_k", "greedy"))
 def sample_token(key: jax.Array, logits: jax.Array, temperature: jax.Array,
                  top_p: jax.Array, top_k: int = 30, greedy: bool = False) -> jax.Array:
