@@ -91,17 +91,33 @@ def _decode_attn_chunked_kernel(bounds_ref, q_ref, k_hbm, v_hbm, o_ref, *,
         c0 = start // chunk
         c1 = pl.cdiv(length, chunk)
 
+        def dma_k(ci, slot):
+            return pltpu.make_async_copy(
+                k_hbm.at[b, h, pl.ds(ci * chunk, chunk)], sk.at[slot],
+                sem_k.at[slot])
+
+        def dma_v(ci, slot):
+            return pltpu.make_async_copy(
+                v_hbm.at[b, h, pl.ds(ci * chunk, chunk)], sv.at[slot],
+                sem_v.at[slot])
+
+        # double-buffered: prefetch chunk i+1 while computing chunk i
+        dma_k(c0, 0).start()
+        dma_v(c0, 0).start()
+
         def body(ci, carry):
             m, l, acc = carry
-            dk = pltpu.make_async_copy(
-                k_hbm.at[b, h, pl.ds(ci * chunk, chunk)], sk, sem_k)
-            dv = pltpu.make_async_copy(
-                v_hbm.at[b, h, pl.ds(ci * chunk, chunk)], sv, sem_v)
-            dk.start()
-            dv.start()
-            dk.wait()
-            dv.wait()
-            kc = sk[:].astype(jnp.float32)                   # (chunk, D)
+            slot = (ci - c0) % 2
+            nxt = (ci - c0 + 1) % 2
+
+            @pl.when(ci + 1 < c1)
+            def _():
+                dma_k(ci + 1, nxt).start()
+                dma_v(ci + 1, nxt).start()
+
+            dma_k(ci, slot).wait()
+            dma_v(ci, slot).wait()
+            kc = sk[slot].astype(jnp.float32)                # (chunk, D)
             s = jnp.dot(q, kc.T, preferred_element_type=jnp.float32) * scale
             pos = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             valid = (pos < length) & (pos >= start)
@@ -111,7 +127,7 @@ def _decode_attn_chunked_kernel(bounds_ref, q_ref, k_hbm, v_hbm, o_ref, *,
             corr = jnp.exp(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             acc_new = acc * corr + jnp.dot(
-                p, sv[:].astype(jnp.float32),
+                p, sv[slot].astype(jnp.float32),
                 preferred_element_type=jnp.float32)
             return m_new, l_new, acc_new
 
@@ -123,10 +139,10 @@ def _decode_attn_chunked_kernel(bounds_ref, q_ref, k_hbm, v_hbm, o_ref, *,
 
     pl.run_scoped(
         inner,
-        sk=pltpu.VMEM((chunk, q_ref.shape[-1]), k_hbm.dtype),
-        sv=pltpu.VMEM((chunk, q_ref.shape[-1]), v_hbm.dtype),
-        sem_k=pltpu.SemaphoreType.DMA(()),
-        sem_v=pltpu.SemaphoreType.DMA(()),
+        sk=pltpu.VMEM((2, chunk, q_ref.shape[-1]), k_hbm.dtype),
+        sv=pltpu.VMEM((2, chunk, q_ref.shape[-1]), v_hbm.dtype),
+        sem_k=pltpu.SemaphoreType.DMA((2,)),
+        sem_v=pltpu.SemaphoreType.DMA((2,)),
     )
 
 

@@ -49,3 +49,20 @@ def test_full_decode_with_pallas_attention_matches():
     base = run(cfg)
     pallas = run(dataclasses.replace(cfg, use_pallas_attention=True))
     np.testing.assert_array_equal(base, pallas)
+
+
+def test_chunked_kernel_matches_xla():
+    """Length-aware chunked kernel (double-buffered DMA, online softmax)."""
+    from fish_speech_tpu.ops.attention import pallas_decode_attention_chunked
+
+    rng = np.random.default_rng(1)
+    b, hkv, g, d, s = 3, 2, 4, 32, 256
+    q = jnp.asarray(rng.standard_normal((b, hkv, g, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    lengths = jnp.asarray([10, 256, 100], jnp.int32)
+    starts = jnp.asarray([0, 65, 2], jnp.int32)
+
+    a = xla_decode_attention(q, k, v, lengths, starts)
+    c = pallas_decode_attention_chunked(q, k, v, lengths, starts, chunk=64)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
