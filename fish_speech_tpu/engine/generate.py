@@ -124,7 +124,8 @@ class TTSEngine:
 
     def __init__(self, params: dict, cfg: DualARConfig, tokenizer,
                  codec_params: dict | None = None, codec_cfg=None,
-                 cache_len: int | None = None, scheduler_slots: int = 0):
+                 cache_len: int | None = None, scheduler_slots: int = 0,
+                 scheduler_chunk: int = 1):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -153,7 +154,8 @@ class TTSEngine:
                 params, cfg, num_slots=scheduler_slots,
                 cache_len=self.cache_len, im_end_id=self.im_end_id,
                 bias=self._bias)
-            self.scheduler = SchedulerThread(batcher)
+            self.scheduler = SchedulerThread(batcher,
+                                             chunk_steps=scheduler_chunk)
 
     def _generate_codes(self, padded: np.ndarray, start: int, max_new: int,
                         req: "GenerateLongRequest", key) -> np.ndarray:

@@ -91,6 +91,7 @@ class ContinuousBatcher:
         self.slot_req: list[SlotRequest | None] = [None] * num_slots
         self.slot_budget = np.zeros(num_slots, dtype=np.int64)
         self._tick_fn = self._build_tick()
+        self._tick_chunk_fn = self._build_tick_chunk()
         self._prefill_fn = self._build_prefill()
 
     # ------------------------------------------------------------------
@@ -116,6 +117,42 @@ class ContinuousBatcher:
             return new_cache, col, new_pos, new_win, finished, key
 
         return tick
+
+    def _build_tick_chunk(self):
+        """N decode steps in ONE jitted dispatch (one host sync per chunk
+        instead of per token). RNG-split order matches `_build_tick`, so a
+        chunked run reproduces the per-step run exactly for the same seed.
+        Slots that emit im_end mid-chunk go inactive in-loop; the host scans
+        each slot's emitted column block and truncates at im_end/budget."""
+        cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
+
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
+        def tick_chunk(params, cache, cur, pos, start, active, prev_win,
+                       key, bias, sampling, n):
+            def body(i, carry):
+                cache, cur, pos, active, prev_win, key, out = carry
+                rope_pos = (pos - start)[:, None]
+                key, sub = jax.random.split(key)
+                col, cache = decode_one_token(
+                    params, cfg, cur[:, :, None], cache, pos,
+                    self.freqs, self.fast_freqs, bias, sub, sampling,
+                    prev_win, top_k=top_k, greedy=greedy,
+                    rope_positions=rope_pos, key_valid_from=start)
+                col = jnp.where(active[:, None], col, cur)
+                pos = jnp.where(active, pos + 1, pos)
+                prev_win = jnp.where(active[:, None],
+                                     push_window(prev_win, col[:, 0]),
+                                     prev_win)
+                active = active & (col[:, 0] != self.im_end_id)
+                out = out.at[i].set(col)
+                return cache, col, pos, active, prev_win, key, out
+
+            out = jnp.zeros((n,) + cur.shape, jnp.int32)
+            cache, cur, pos, active, prev_win, key, out = jax.lax.fori_loop(
+                0, n, body, (cache, cur, pos, active, prev_win, key, out))
+            return cache, cur, pos, active, prev_win, key, out
+
+        return tick_chunk
 
     def _build_prefill(self):
         cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
@@ -220,6 +257,49 @@ class ContinuousBatcher:
             if self.slot_budget[slot] <= 0:
                 self._finish_slot(slot, emit_last=False)
 
+    def step_chunk(self, n: int) -> None:
+        """n decode ticks in one device dispatch + one host sync.
+
+        Equivalent to n step() calls (same RNG stream, same tokens) but with
+        1/n the host/tunnel round-trips — the per-step host bookkeeping was
+        capping tick rate under load. Slots whose budget expires mid-chunk
+        decode garbage for the chunk remainder; the host truncates, so at most
+        n-1 wasted steps per request. Use small n (4-16) for streaming: chunk
+        size bounds added first-token latency."""
+        if n <= 1:
+            return self.step()
+        active_before = np.asarray(self.active)
+        (self.cache, self.cur, self.pos, self.active, self.prev_win,
+         self.key, out) = self._tick_chunk_fn(
+            self.params, self.cache, self.cur, self.pos,
+            self.start, self.active, self.prev_win, self.key, self.bias,
+            SamplingConfig(self.temp, self.top_p), n)
+
+        out_h = np.asarray(out)          # (n, B, K+1)
+        deactivate = []
+        for slot in range(self.num_slots):
+            if not active_before[slot]:
+                continue
+            req = self.slot_req[slot]
+            for j in range(n):
+                tok = out_h[j, slot]
+                if tok[0] == self.im_end_id:
+                    self._finish_slot(slot, emit_last=True)
+                    break
+                req.result.append(tok)
+                if req.on_token:
+                    req.on_token(req.request_id, tok)
+                self.slot_budget[slot] -= 1
+                if self.slot_budget[slot] <= 0:
+                    deactivate.append(slot)
+                    self._finish_slot(slot, emit_last=False)
+                    break
+        if deactivate:
+            # budget-finished slots are only known host-side; clear their
+            # device active flags so the next chunk freezes them
+            idx = jnp.asarray(deactivate, jnp.int32)
+            self.active = self.active.at[idx].set(False)
+
     def free_slots(self) -> list[int]:
         active_h = np.asarray(self.active)
         return [i for i in range(self.num_slots) if not active_h[i]
@@ -229,7 +309,8 @@ class ContinuousBatcher:
         return bool(np.asarray(self.active).any())
 
     # ------------------------------------------------------------------
-    def run(self, requests: list[SlotRequest]) -> dict[int, np.ndarray]:
+    def run(self, requests: list[SlotRequest],
+            chunk_steps: int = 1) -> dict[int, np.ndarray]:
         """Convenience driver: schedule all requests, return codes per id."""
         pending = list(requests)
         while pending or self.has_active():
@@ -238,7 +319,7 @@ class ContinuousBatcher:
                     break
                 self._assign(pending.pop(0), slot)
             if self.has_active():
-                self.step()
+                self.step_chunk(chunk_steps)
         out = {}
         for req in requests:
             if req.result:
@@ -254,10 +335,12 @@ class SchedulerThread:
     concurrency model of ref inference.py:748-799, generalized to overlapping
     requests)."""
 
-    def __init__(self, batcher: ContinuousBatcher, poll_s: float = 0.002):
+    def __init__(self, batcher: ContinuousBatcher, poll_s: float = 0.002,
+                 chunk_steps: int = 1):
         self.batcher = batcher
         self.queue: "queue.Queue[SlotRequest]" = queue.Queue()
         self.poll_s = poll_s
+        self.chunk_steps = max(1, chunk_steps)
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -283,7 +366,12 @@ class SchedulerThread:
                     req.error = e
                     req.done.set()
             if self.batcher.has_active():
-                self.batcher.step()
+                # chunk only while the queue is drained: pending prefills
+                # should not wait chunk_steps ticks for a free dispatch point
+                if self.chunk_steps > 1 and self.queue.empty():
+                    self.batcher.step_chunk(self.chunk_steps)
+                else:
+                    self.batcher.step()
                 moved = True
             if not moved:
                 time.sleep(self.poll_s)

@@ -63,10 +63,15 @@ def broadcast_plan(plan: "TickPlan | None") -> TickPlan:
     from jax.experimental import multihost_utils
 
     payload = plan.to_bytes() if jax.process_index() == 0 else b""
-    arr = np.frombuffer(payload.ljust(1 << 20, b"\0"), dtype=np.uint8)
+    # two-phase: size first (so followers allocate exactly), then payload —
+    # no fixed-size cap on plans with many/long prompts
+    size = multihost_utils.broadcast_one_to_all(
+        np.int64(len(payload)))
+    arr = np.zeros(int(size), np.uint8)
+    if jax.process_index() == 0:
+        arr[:] = np.frombuffer(payload, dtype=np.uint8)
     out = multihost_utils.broadcast_one_to_all(arr)
-    raw = bytes(out.tobytes()).rstrip(b"\0")
-    return TickPlan.from_bytes(raw)
+    return TickPlan.from_bytes(bytes(np.asarray(out).tobytes()))
 
 
 def apply_plan(batcher, plan: TickPlan, request_registry: dict | None = None):
@@ -86,10 +91,13 @@ def apply_plan(batcher, plan: TickPlan, request_registry: dict | None = None):
             req = SlotRequest(request_id=a.request_id, prompt=a.prompt,
                               max_new_tokens=a.max_new_tokens,
                               temperature=a.temperature, top_p=a.top_p)
+            if request_registry is not None:
+                request_registry[a.request_id] = req
         batcher._assign(req, a.slot)
-    for _ in range(plan.n_ticks):
-        if batcher.has_active():
-            batcher.step()
+    if plan.n_ticks > 0 and batcher.has_active():
+        # one chunked dispatch per plan: hosts stay in lockstep with a single
+        # device program per sync window instead of n_ticks separate ticks
+        batcher.step_chunk(plan.n_ticks)
 
 
 def run_follower_loop(batcher):

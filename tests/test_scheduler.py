@@ -60,6 +60,29 @@ def test_batcher_matches_single_decodes():
         assert got.shape[1] <= n + 1
 
 
+def test_chunked_ticks_match_per_step():
+    """step_chunk(n) must reproduce the step()-based run exactly (greedy:
+    host-side RNG split order differs when assigns land on chunk
+    boundaries, so only the deterministic stream is order-invariant)."""
+    cfg, params, bias = _setup()
+    rng = np.random.default_rng(3)
+    prompts = [random_lm_prompt(cfg, t, rng) for t in (9, 14, 21)]
+    max_new = 11  # not a multiple of the chunk: exercises mid-chunk budget
+
+    def run(chunk):
+        batcher = ContinuousBatcher(
+            params, cfg, num_slots=2, cache_len=128, im_end_id=IM_END,
+            bias=bias, greedy=True, prompt_bucket=32, seed=5)
+        reqs = [SlotRequest(request_id=i, prompt=p, max_new_tokens=max_new)
+                for i, p in enumerate(prompts)]
+        return batcher.run(reqs, chunk_steps=chunk)
+
+    per_step = run(1)
+    chunked = run(4)
+    for i in per_step:
+        np.testing.assert_array_equal(chunked[i], per_step[i])
+
+
 def test_scheduler_thread():
     cfg, params, bias = _setup()
     rng = np.random.default_rng(1)

@@ -77,7 +77,8 @@ def build_engine(args):
 
     return TTSEngine(params, cfg, tokenizer, codec_params=codec_params,
                      codec_cfg=codec_cfg, cache_len=args.cache_len,
-                     scheduler_slots=getattr(args, "scheduler_slots", 0))
+                     scheduler_slots=getattr(args, "scheduler_slots", 0),
+                     scheduler_chunk=getattr(args, "scheduler_chunk", 1))
 
 
 def main():
@@ -92,6 +93,10 @@ def main():
     parser.add_argument("--cache-len", type=int, default=2048)
     parser.add_argument("--scheduler-slots", type=int, default=0,
                         help=">0 enables continuous batching with N decode slots")
+    parser.add_argument("--scheduler-chunk", type=int, default=1,
+                        help=">1 runs N decode ticks per device dispatch "
+                             "(throughput mode; adds up to N tokens of "
+                             "streaming latency)")
     args = parser.parse_args()
 
     from aiohttp import web
