@@ -86,8 +86,11 @@ class KVCache(NamedTuple):
         k = jnp.zeros(shape, dtype)
         v = jnp.zeros(shape, dtype)
         if dtype == jnp.int8:
-            sc = jnp.zeros(shape[:-1], jnp.float32)
-            return KVCache(k, v, sc, sc)
+            # distinct buffers: ks/vs must not alias (the decode programs
+            # donate the whole cache; donating one buffer through two leaves
+            # is an INVALID_ARGUMENT on the TPU runtime)
+            return KVCache(k, v, jnp.zeros(shape[:-1], jnp.float32),
+                           jnp.zeros(shape[:-1], jnp.float32))
         return KVCache(k, v)
 
 
@@ -117,6 +120,7 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     k = apply_rotary_emb(k, freqs_cis)
 
     new_cache = cache
+    k_scale = v_scale = None
     if cache is not None:
         int8_cache = cache.k.dtype == jnp.int8
         # cache layout (B, H_kv, S, D); new k/v arrive as (B, T, H_kv, D)
@@ -158,8 +162,20 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
                 cvs = cache.vs.at[rows, :, cols].set(v_sc.transpose(0, 2, 1))
         if int8_cache:
             new_cache = KVCache(ck, cv, cks, cvs)
-            k = ck.astype(x.dtype) * cks[..., None].astype(x.dtype)
-            v = cv.astype(x.dtype) * cvs[..., None].astype(x.dtype)
+            if pallas_bounds is not None and t == 1:
+                # the Pallas decode kernel consumes dense bf16 k/v; dequantize
+                # (int8-aware kernel is future work)
+                k = ck.astype(x.dtype) * cks[..., None].astype(x.dtype)
+                v = cv.astype(x.dtype) * cvs[..., None].astype(x.dtype)
+            else:
+                # dequant-free path: keep int8 k/v for the einsums and fold
+                # the per-position scales into scores/probs instead —
+                # (q · (k8·sc)) == (q · k8)·sc, so numerics match the
+                # dequantized form up to f32 rounding, but the cache is read
+                # once as int8 with no materialized bf16 copy (the
+                # elementwise scale moves from O(S·D) onto O(S) terms)
+                k, v = ck, cv
+                k_scale, v_scale = cks, cvs
         else:
             new_cache = KVCache(ck, cv)
             k, v = ck, cv
@@ -178,7 +194,11 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
         if ad.o_bias:
             out = out + p["wo_b"]
         return out, new_cache
-    if cache is not None:
+    if cache is not None and k_scale is not None:
+        scores = jnp.einsum("bqhgd,bhkd->bhgqk", qg, k.astype(qg.dtype))
+        scores = scores.astype(jnp.float32) * (
+            k_scale[:, :, None, None, :].astype(jnp.float32) * scale)
+    elif cache is not None:
         scores = jnp.einsum("bqhgd,bhkd->bhgqk", qg, k) * scale
     else:
         scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) * scale
@@ -186,11 +206,15 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     # finite, else NaN k/v written at pad cache slots poison `0 * NaN` later
     scores = jnp.where(mask[:, :, None, :, :],
                        scores.astype(jnp.float32), jnp.float32(-1e30))
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    if cache is not None:
-        y = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v)
+    probs_f = jax.nn.softmax(scores, axis=-1)
+    if cache is not None and v_scale is not None:
+        pv = (probs_f * v_scale[:, :, None, None, :].astype(jnp.float32)
+              ).astype(x.dtype)
+        y = jnp.einsum("bhgqk,bhkd->bqhgd", pv, v.astype(x.dtype))
+    elif cache is not None:
+        y = jnp.einsum("bhgqk,bhkd->bqhgd", probs_f.astype(x.dtype), v)
     else:
-        y = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+        y = jnp.einsum("bhgqk,bkhd->bqhgd", probs_f.astype(x.dtype), v)
     y = y.reshape(b, t, h * d)
     out = y @ as_weight(p["wo"], x.dtype).T
     if ad.o_bias:
@@ -233,6 +257,13 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
         x, _ = jax.lax.scan(step, x, layers, unroll=unroll)
         return x, None
 
+    if unrolled and cache.k.dtype == jnp.int8:
+        # measured on v5e: the unrolled per-layer dynamic_update_index chain
+        # on int8 buffers explodes XLA compile time (2-layer micro-benchmark:
+        # 106s vs 1s via scan; the 4B program never finishes). The scan path
+        # compiles normally, and its xs+ys double-buffering costs half as
+        # much in int8 anyway.
+        unrolled = False
     if unrolled:
         # python-unrolled layer loop: each layer's cache slice is updated with
         # a static-index dynamic_update_slice on the SAME buffer, which XLA

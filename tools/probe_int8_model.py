@@ -27,7 +27,7 @@ def main(case):
     B, S = 4, 128
     key = jax.random.key(0)
     params = init_dual_ar_params(key, cfg, dtype=jnp.bfloat16)
-    dtype = jnp.bfloat16 if case == "tiny_bf16" else jnp.int8
+    dtype = jnp.bfloat16 if case.endswith("bf16") else jnp.int8
     cache = KVCache.create(cfg.n_layer, B, S, cfg.n_local_heads,
                            cfg.head_dim, dtype=dtype)
     freqs = precompute_freqs_cis(S, cfg.head_dim, cfg.rope_base)
@@ -40,7 +40,14 @@ def main(case):
     cur = jnp.zeros((B, cfg.num_codebooks + 1, 1), jnp.int32)
     pos = jnp.int32(16)
 
-    if case in ("tiny_bf16", "tiny_int8"):
+    if case in ("fg_bf16", "fg_int8"):
+        # slow stack only: isolates attention/scan from sampling + fast head
+        from fish_speech_tpu.models.dual_ar import forward_generate
+
+        @jax.jit
+        def f(params, cache, cur, pos, key):
+            return forward_generate(params, cfg, cur, cache, pos, freqs)
+    elif case in ("tiny_bf16", "tiny_int8"):
         @jax.jit
         def f(params, cache, cur, pos, key):
             return decode_one_token(params, cfg, cur, cache, pos, freqs,
