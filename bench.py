@@ -82,7 +82,9 @@ def main():
 
     import dataclasses
     cfg = dataclasses.replace(cfg, semantic_begin_id=sem_begin,
-                              semantic_end_id=sem_end)
+                              semantic_end_id=sem_end,
+                              decode_stack_mode=os.environ.get("BENCH_STACK",
+                                                               ""))
 
     from functools import partial
 

@@ -67,6 +67,10 @@ class DualARConfig:
     # in-place per-layer cache updates (the scan path double-buffers the KV
     # cache); longer compile, no numerical effect
     unrolled_decode: bool = False
+    # cached-decode layer-stack mode: "" (derive from unrolled_decode),
+    # "carry" (cache carried through the scan, in-place dynamic-layer-index
+    # updates: no double-buffering AND fast compile), "unrolled", "scan"
+    decode_stack_mode: str = ""
     # route T=1 cached attention through the Pallas decode kernel
     # (ops/attention.py) instead of the XLA einsum path
     use_pallas_attention: bool = False

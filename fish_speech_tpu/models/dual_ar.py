@@ -94,12 +94,25 @@ class KVCache(NamedTuple):
         return KVCache(k, v)
 
 
+class StackedCacheView(NamedTuple):
+    """Full stacked (L, ...) KV cache + the current layer index.
+
+    The carry-mode layer scan passes this instead of a per-layer slice so the
+    cache update is ONE dynamic_update_slice at (layer, ..., pos) on the full
+    donated buffer — in place, no per-layer copies. The xs/ys scan mode
+    double-buffers the whole cache (measured: 4B int8 B=256 OOMs at 18.3G on
+    a 15.75G chip purely from that doubling)."""
+    full: KVCache
+    layer: jax.Array  # scalar int32
+
+
 def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
-              mask: jax.Array, cache: "KVCache | None" = None,
+              mask: jax.Array, cache: "KVCache | StackedCacheView | None" = None,
               input_pos: jax.Array | None = None,
               pallas_bounds: tuple | None = None):
     """Returns (out, new_cache). cache holds per-layer (B, H_kv, S, D) slices
-    (+ scales in int8 mode). mask: (B or 1, 1, Tq, S) bool.
+    (+ scales in int8 mode), or a StackedCacheView in carry mode.
+    mask: (B or 1, 1, Tq, S) bool.
     pallas_bounds: optional (lengths (B,), starts (B,)) — routes the T=1
     cached case through the Pallas decode kernel instead of the einsum path."""
     b, t, _ = x.shape
@@ -122,7 +135,10 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     new_cache = cache
     k_scale = v_scale = None
     if cache is not None:
-        int8_cache = cache.k.dtype == jnp.int8
+        stacked = isinstance(cache, StackedCacheView)
+        store = cache.full if stacked else cache
+        li = cache.layer if stacked else None
+        int8_cache = store.k.dtype == jnp.int8
         # cache layout (B, H_kv, S, D); new k/v arrive as (B, T, H_kv, D)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
@@ -135,17 +151,30 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
                                        axis=-1) / 127.0, 1e-8)
             kt = jnp.round(kt.astype(jnp.float32) / k_sc[..., None])
             vt = jnp.round(vt.astype(jnp.float32) / v_sc[..., None])
-        kt = kt.astype(cache.k.dtype)
-        vt = vt.astype(cache.v.dtype)
+        kt = kt.astype(store.k.dtype)
+        vt = vt.astype(store.v.dtype)
         if jnp.ndim(input_pos) == 0:
             # all rows write the same slot range (single-utterance / prefill)
-            ck = jax.lax.dynamic_update_slice(cache.k, kt, (0, 0, input_pos, 0))
-            cv = jax.lax.dynamic_update_slice(cache.v, vt, (0, 0, input_pos, 0))
-            if int8_cache:
-                cks = jax.lax.dynamic_update_slice(cache.ks, k_sc,
-                                                   (0, 0, input_pos))
-                cvs = jax.lax.dynamic_update_slice(cache.vs, v_sc,
-                                                   (0, 0, input_pos))
+            if stacked:
+                ck = jax.lax.dynamic_update_slice(
+                    store.k, kt[None], (li, 0, 0, input_pos, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    store.v, vt[None], (li, 0, 0, input_pos, 0))
+                if int8_cache:
+                    cks = jax.lax.dynamic_update_slice(
+                        store.ks, k_sc[None], (li, 0, 0, input_pos))
+                    cvs = jax.lax.dynamic_update_slice(
+                        store.vs, v_sc[None], (li, 0, 0, input_pos))
+            else:
+                ck = jax.lax.dynamic_update_slice(store.k, kt,
+                                                  (0, 0, input_pos, 0))
+                cv = jax.lax.dynamic_update_slice(store.v, vt,
+                                                  (0, 0, input_pos, 0))
+                if int8_cache:
+                    cks = jax.lax.dynamic_update_slice(store.ks, k_sc,
+                                                       (0, 0, input_pos))
+                    cvs = jax.lax.dynamic_update_slice(store.vs, v_sc,
+                                                       (0, 0, input_pos))
         else:
             # per-row write positions (continuous batching: slots decode at
             # different sequence offsets) — scatter along the seq axis; two
@@ -153,20 +182,41 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             # value layout is exactly k/v's native (B, T, H_kv, D)
             rows = jnp.arange(b)[:, None]
             cols = input_pos[:, None] + jnp.arange(t)[None, :]
-            ck = cache.k.at[rows, :, cols].set(
-                kt.transpose(0, 2, 1, 3).astype(cache.k.dtype))
-            cv = cache.v.at[rows, :, cols].set(
-                vt.transpose(0, 2, 1, 3).astype(cache.v.dtype))
-            if int8_cache:
-                cks = cache.ks.at[rows, :, cols].set(k_sc.transpose(0, 2, 1))
-                cvs = cache.vs.at[rows, :, cols].set(v_sc.transpose(0, 2, 1))
+            val_k = kt.transpose(0, 2, 1, 3).astype(store.k.dtype)
+            val_v = vt.transpose(0, 2, 1, 3).astype(store.v.dtype)
+            if stacked:
+                ck = store.k.at[li, rows, :, cols].set(val_k)
+                cv = store.v.at[li, rows, :, cols].set(val_v)
+                if int8_cache:
+                    cks = store.ks.at[li, rows, :, cols].set(
+                        k_sc.transpose(0, 2, 1))
+                    cvs = store.vs.at[li, rows, :, cols].set(
+                        v_sc.transpose(0, 2, 1))
+            else:
+                ck = store.k.at[rows, :, cols].set(val_k)
+                cv = store.v.at[rows, :, cols].set(val_v)
+                if int8_cache:
+                    cks = store.ks.at[rows, :, cols].set(
+                        k_sc.transpose(0, 2, 1))
+                    cvs = store.vs.at[rows, :, cols].set(
+                        v_sc.transpose(0, 2, 1))
+        if stacked:
+            # read this layer's updated slice; the dynamic_slice fuses into
+            # the attention einsums as an offset read (no copy)
+            didx = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0,
+                                                          keepdims=False)
+            rk, rv = didx(ck), didx(cv)
+            rks, rvs = (didx(cks), didx(cvs)) if int8_cache else (None, None)
+        else:
+            rk, rv = ck, cv
+            rks, rvs = (cks, cvs) if int8_cache else (None, None)
         if int8_cache:
-            new_cache = KVCache(ck, cv, cks, cvs)
+            new_full = KVCache(ck, cv, cks, cvs)
             if pallas_bounds is not None and t == 1:
                 # the Pallas decode kernel consumes dense bf16 k/v; dequantize
                 # (int8-aware kernel is future work)
-                k = ck.astype(x.dtype) * cks[..., None].astype(x.dtype)
-                v = cv.astype(x.dtype) * cvs[..., None].astype(x.dtype)
+                k = rk.astype(x.dtype) * rks[..., None].astype(x.dtype)
+                v = rv.astype(x.dtype) * rvs[..., None].astype(x.dtype)
             else:
                 # dequant-free path: keep int8 k/v for the einsums and fold
                 # the per-position scales into scores/probs instead —
@@ -174,11 +224,12 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
                 # dequantized form up to f32 rounding, but the cache is read
                 # once as int8 with no materialized bf16 copy (the
                 # elementwise scale moves from O(S·D) onto O(S) terms)
-                k, v = ck, cv
-                k_scale, v_scale = cks, cvs
+                k, v = rk, rv
+                k_scale, v_scale = rks, rvs
         else:
-            new_cache = KVCache(ck, cv)
-            k, v = ck, cv
+            new_full = KVCache(ck, cv)
+            k, v = rk, rv
+        new_cache = (StackedCacheView(new_full, li) if stacked else new_full)
 
     # GQA: group query heads over kv heads
     g = h // hkv
@@ -242,12 +293,19 @@ def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
 def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
               mask, cache: KVCache | None = None, input_pos: jax.Array | None = None,
               remat: bool = False, unroll: int = 1, unrolled: bool = False,
-              pallas_bounds: tuple | None = None):
+              pallas_bounds: tuple | None = None, mode: str = ""):
     """Scan the stacked layer params over depth. Returns (x, new_cache).
 
     `unroll` trades compile time for schedule quality: unrolled layers let XLA
     overlap the next layer's weight prefetch with the current layer's compute
-    (decode is weight-bandwidth-bound)."""
+    (decode is weight-bandwidth-bound).
+
+    Cached-decode stack modes (`mode`, falling back to `unrolled` flag):
+      carry    — cache carried through the scan, updated in place at a
+                 dynamic layer index (no double-buffering, fast compile)
+      unrolled — python layer loop, static per-layer in-place updates
+      scan     — cache as scan xs/ys (double-buffers the full cache)
+    """
     if cache is None:
         def step(h, layer_p):
             out, _ = _block(layer_p, ad, eps, h, freqs_cis, mask)
@@ -257,14 +315,26 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
         x, _ = jax.lax.scan(step, x, layers, unroll=unroll)
         return x, None
 
-    if unrolled and cache.k.dtype == jnp.int8:
+    mode = mode or ("unrolled" if unrolled else "scan")
+    if mode == "unrolled" and cache.k.dtype == jnp.int8:
         # measured on v5e: the unrolled per-layer dynamic_update_index chain
         # on int8 buffers explodes XLA compile time (2-layer micro-benchmark:
-        # 106s vs 1s via scan; the 4B program never finishes). The scan path
-        # compiles normally, and its xs+ys double-buffering costs half as
-        # much in int8 anyway.
-        unrolled = False
-    if unrolled:
+        # 106s vs 1s via scan; the 4B program never finishes)
+        mode = "carry"
+
+    if mode == "carry":
+        def step(carry, layer_p):
+            h, c, i = carry
+            out, view = _block(layer_p, ad, eps, h, freqs_cis, mask,
+                               StackedCacheView(c, i), input_pos,
+                               pallas_bounds)
+            return (out, view.full, i + 1), None
+
+        (x, cache, _), _ = jax.lax.scan(
+            step, (x, cache, jnp.int32(0)), layers, unroll=unroll)
+        return x, cache
+
+    if mode == "unrolled":
         # python-unrolled layer loop: each layer's cache slice is updated with
         # a static-index dynamic_update_slice on the SAME buffer, which XLA
         # aliases in place — the scan path below materializes a second full
@@ -383,7 +453,8 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
     x, cache = run_stack(params["layers"], cfg.slow_attn, cfg.norm_eps, x,
                          freqs_cis, mask, cache, input_pos,
                          unroll=cfg.scan_unroll, unrolled=cfg.unrolled_decode,
-                         pallas_bounds=pallas_bounds)
+                         pallas_bounds=pallas_bounds,
+                         mode=cfg.decode_stack_mode)
     if last_only and t > 1:
         x = x[:, -1:, :]
     slow_normed = rms_norm(x, params["norm"], cfg.norm_eps)

@@ -62,6 +62,11 @@ def build_engine(args):
             fast_head_dim=32, fast_intermediate_size=128)
         params = init_dual_ar_params(jax.random.key(0), cfg)
 
+    if getattr(args, "kv_cache", "native") != "native":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, kv_cache_dtype=args.kv_cache)
+
     if args.codec_checkpoint:
         from fish_speech_tpu.codec import convert_dac_state_dict, s2_pro_codec_config
         from fish_speech_tpu.utils.checkpoint import load_torch_codec_checkpoint
@@ -93,6 +98,10 @@ def main():
     parser.add_argument("--cache-len", type=int, default=2048)
     parser.add_argument("--scheduler-slots", type=int, default=0,
                         help=">0 enables continuous batching with N decode slots")
+    parser.add_argument("--kv-cache", choices=["native", "int8"],
+                        default="native",
+                        help="int8 halves KV-cache bandwidth/memory "
+                             "(per-position symmetric quantization)")
     parser.add_argument("--scheduler-chunk", type=int, default=1,
                         help=">1 runs N decode ticks per device dispatch "
                              "(throughput mode; adds up to N tokens of "

@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="S2-Pro-scale LM + codec (random weights)")
     ap.add_argument("--quant", action="store_true", help="int8 weight-only LM")
+    ap.add_argument("--kv-int8", action="store_true", help="int8 KV cache")
     ap.add_argument("--chunk-frames", type=int, default=8,
                     help="acoustic frames per emitted audio chunk")
     ap.add_argument("--scheduler-chunk", type=int, default=1,
@@ -82,6 +83,10 @@ def main():
             semantic_end_id=tokenizer.semantic_end_id)
         codec_cfg = tiny_codec_config()
 
+    if args.kv_int8:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, kv_cache_dtype="int8")
     params = init_dual_ar_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     if args.quant:
         from fish_speech_tpu.ops.quant import quantize_lm_params
