@@ -43,11 +43,12 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         # default = best verified serving config: int8 weight-only (the
-        # reference ships the same PTQ mode), batch 64, cache 384.
-        # BENCH_QUANT=0 BENCH_BATCH=32 BENCH_CACHE=512 gives the pure-bf16
-        # configuration (36 audio-s/s); see README for the matrix.
+        # reference ships the same PTQ mode), int8 KV cache, carry-mode layer
+        # stack, batch 256, cache 384 -> 161.5 audio-s/s/chip on v5e.
+        # BENCH_QUANT=0 / BENCH_KV=bf16 / BENCH_BATCH / BENCH_CACHE /
+        # BENCH_STACK override; see README for the measured matrix.
         cfg = s2_pro_lm_config(max_seq_len=2048)
-        batch = int(os.environ.get("BENCH_BATCH", "64"))
+        batch = int(os.environ.get("BENCH_BATCH", "256"))
         cache_len = int(os.environ.get("BENCH_CACHE", "384"))
         warmup, iters = 1, 3
         steps_per_call = 32
@@ -64,8 +65,9 @@ def main():
 
         params = jax.jit(quantize_lm_params)(params)
         print("# int8 weight-only quantized", file=sys.stderr)
+    kv_default = "int8" if on_tpu else "bf16"
     kv_dtype = jnp.bfloat16
-    if os.environ.get("BENCH_KV") == "int8":
+    if os.environ.get("BENCH_KV", kv_default) == "int8":
         kv_dtype = jnp.int8
         print("# int8 KV cache", file=sys.stderr)
     cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,

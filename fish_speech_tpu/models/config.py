@@ -63,13 +63,12 @@ class DualARConfig:
     # XLA schedule knob: unroll factor for the layer scans in the decode path
     # (weight prefetch overlap); no numerical effect
     scan_unroll: int = 1
-    # python-unroll the slow stack's layer loop in the cached decode path:
-    # in-place per-layer cache updates (the scan path double-buffers the KV
-    # cache); longer compile, no numerical effect
+    # legacy flag (superseded by decode_stack_mode="unrolled"; kept for
+    # checkpoint-config compatibility, otherwise ignored)
     unrolled_decode: bool = False
-    # cached-decode layer-stack mode: "" (derive from unrolled_decode),
-    # "carry" (cache carried through the scan, in-place dynamic-layer-index
-    # updates: no double-buffering AND fast compile), "unrolled", "scan"
+    # cached-decode layer-stack mode: "" = "carry" (cache carried through the
+    # scan, in-place dynamic-layer-index updates: no double-buffering AND
+    # fast compile — measured best everywhere), "unrolled", "scan"
     decode_stack_mode: str = ""
     # route T=1 cached attention through the Pallas decode kernel
     # (ops/attention.py) instead of the XLA einsum path
@@ -212,7 +211,6 @@ def s2_pro_lm_config(max_seq_len: int = 4096) -> DualARConfig:
         fast_head_dim=64,
         fast_intermediate_size=3072,
         fast_attention_qk_norm=False,
-        unrolled_decode=True,
     )
 
 

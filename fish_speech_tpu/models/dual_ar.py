@@ -315,7 +315,10 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
         x, _ = jax.lax.scan(step, x, layers, unroll=unroll)
         return x, None
 
-    mode = mode or ("unrolled" if unrolled else "scan")
+    # carry is the measured-best default on TPU for every dtype/batch tried
+    # (4B int8-weights: B=64 bf16-KV 85.9 vs 61 unrolled audio-s/s; int8-KV
+    # B=256 161.5 vs scan OOM); `unrolled`/`scan` remain selectable
+    mode = mode or "carry"
     if mode == "unrolled" and cache.k.dtype == jnp.int8:
         # measured on v5e: the unrolled per-layer dynamic_update_index chain
         # on int8 buffers explodes XLA compile time (2-layer micro-benchmark:
