@@ -101,7 +101,8 @@ def main():
             col, new_cache = decode_one_token(
                 params, cfg, cur, cache, pos + i, freqs,
                 fast_freqs, bias, sub, sampling, prev_win,
-                top_k=30, greedy=False)
+                top_k=30, greedy=False,
+                sample_support=(sem_begin, sem_end, im_end))
             return new_cache, col[:, :, None], key
 
         cache, cur, key = jax.lax.fori_loop(

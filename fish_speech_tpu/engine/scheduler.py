@@ -90,6 +90,14 @@ class ContinuousBatcher:
         # host-side slot metadata
         self.slot_req: list[SlotRequest | None] = [None] * num_slots
         self.slot_budget = np.zeros(num_slots, dtype=np.int64)
+        # constrained decoding only samples semantic ids + im_end, so the
+        # decode programs compute logits over just that support (exact under
+        # semantic_logit_bias; see models/decode.decode_one_token)
+        self.support = None
+        if (cfg.semantic_begin_id is not None
+                and cfg.semantic_end_id is not None):
+            self.support = (cfg.semantic_begin_id, cfg.semantic_end_id,
+                            im_end_id)
         self._tick_fn = self._build_tick()
         self._tick_chunk_fn = self._build_tick_chunk()
         self._prefill_fn = self._build_prefill()
@@ -107,7 +115,7 @@ class ContinuousBatcher:
                 params, cfg, cur[:, :, None], cache, pos,
                 self.freqs, self.fast_freqs, bias, sub, sampling, prev_win,
                 top_k=top_k, greedy=greedy, rope_positions=rope_pos,
-                key_valid_from=start)
+                key_valid_from=start, sample_support=self.support)
             # inactive slots keep their state
             col = jnp.where(active[:, None], col, cur)
             new_pos = jnp.where(active, pos + 1, pos)
@@ -137,7 +145,8 @@ class ContinuousBatcher:
                     params, cfg, cur[:, :, None], cache, pos,
                     self.freqs, self.fast_freqs, bias, sub, sampling,
                     prev_win, top_k=top_k, greedy=greedy,
-                    rope_positions=rope_pos, key_valid_from=start)
+                    rope_positions=rope_pos, key_valid_from=start,
+                    sample_support=self.support)
                 col = jnp.where(active[:, None], col, cur)
                 pos = jnp.where(active, pos + 1, pos)
                 prev_win = jnp.where(active[:, None],
@@ -175,7 +184,7 @@ class ContinuousBatcher:
                 self.freqs, self.fast_freqs, bias, key, sampling, None,
                 top_k=top_k, greedy=greedy, rope_positions=rope_pos,
                 key_valid_from=start_offset[None] if start_offset.ndim == 0
-                else start_offset)
+                else start_offset, sample_support=self.support)
 
             def write_slot(full, part):
                 starts = (0, slot) + (0,) * (full.ndim - 2)

@@ -400,10 +400,26 @@ class SlowOut(NamedTuple):
     cache: KVCache | None
 
 
-def _token_logits(params: dict, cfg: DualARConfig, slow_out: jax.Array) -> jax.Array:
-    if cfg.tie_word_embeddings:
-        return slow_out @ as_weight(params["embeddings"], slow_out.dtype).T
-    return slow_out @ as_weight(params["output"], slow_out.dtype).T
+def _token_logits(params: dict, cfg: DualARConfig, slow_out: jax.Array,
+                  logit_support: tuple | None = None) -> jax.Array:
+    w = (params["embeddings"] if cfg.tie_word_embeddings
+         else params["output"])
+    if logit_support is not None:
+        # constrained decoding only ever samples inside
+        # [semantic_begin, semantic_end] + {im_end} (the additive bias is
+        # -inf everywhere else, ref inference.py:308-320), so compute logits
+        # over just those rows: (n_s+1) instead of V projections per step.
+        # Softmax/top-k over this support is bit-identical to the full-vocab
+        # biased computation (exp(-inf) == 0 exactly).
+        from ..ops.quant import slice_rows
+
+        sb, se, im = logit_support
+        sem = slow_out @ as_weight(slice_rows(w, sb, se + 1),
+                                   slow_out.dtype).T
+        eos = slow_out @ as_weight(slice_rows(w, im, im + 1),
+                                   slow_out.dtype).T
+        return jnp.concatenate([sem, eos], axis=-1)  # (..., n_s + 1)
+    return slow_out @ as_weight(w, slow_out.dtype).T
 
 
 def _fast_input(params: dict, cfg: DualARConfig, x: jax.Array,
@@ -418,7 +434,8 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
                      cache: KVCache, input_pos: jax.Array,
                      freqs_table: jax.Array, *, last_only: bool = True,
                      rope_positions: jax.Array | None = None,
-                     key_valid_from: jax.Array | None = None) -> SlowOut:
+                     key_valid_from: jax.Array | None = None,
+                     logit_support: tuple | None = None) -> SlowOut:
     """Slow-stack forward with KV cache (prefill T>=1 or decode T=1).
 
     input_pos: scalar int32 — first cache slot written by `inp`.
@@ -461,7 +478,7 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
     if last_only and t > 1:
         x = x[:, -1:, :]
     slow_normed = rms_norm(x, params["norm"], cfg.norm_eps)
-    logits = _token_logits(params, cfg, slow_normed)
+    logits = _token_logits(params, cfg, slow_normed, logit_support)
     hidden = _fast_input(params, cfg, x, slow_normed)
     return SlowOut(logits=logits, hidden=hidden, cache=cache)
 

@@ -74,6 +74,20 @@ def take_rows(w, idx, dtype=jnp.bfloat16):
     return (rows * scales[..., None]).reshape(*scales.shape[:-1], inner)
 
 
+def slice_rows(w, start: int, stop: int):
+    """Static row-slice of a (possibly quantized) (V, D) weight — used to
+    compute logits only over the constrained sampling support instead of the
+    full vocabulary (37x fewer rows for the 4B model's 152k vocab)."""
+    if not is_quantized(w):
+        return w[start:stop]
+    out = {"q": w["q"][start:stop]}
+    if "s" in w:
+        out["s"] = w["s"][start:stop]
+    else:
+        out["gs"] = w["gs"][start:stop]
+    return out
+
+
 _LM_QUANT_LEAVES = {"wqkv", "wo", "w1", "w2", "w3"}
 _LM_QUANT_TOP = {"embeddings", "codebook_embeddings", "fast_embeddings",
                  "output", "fast_output"}

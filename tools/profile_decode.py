@@ -97,7 +97,7 @@ def summarize(logdir, top=40):
     if not paths:
         print("no xplane captured", file=sys.stderr)
         return
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xspace = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
