@@ -83,10 +83,11 @@ def main():
     prev_win = jnp.zeros((batch, RAS_WIN_SIZE), jnp.int32)
 
     import dataclasses
-    cfg = dataclasses.replace(cfg, semantic_begin_id=sem_begin,
-                              semantic_end_id=sem_end,
-                              decode_stack_mode=os.environ.get("BENCH_STACK",
-                                                               ""))
+    cfg = dataclasses.replace(
+        cfg, semantic_begin_id=sem_begin, semantic_end_id=sem_end,
+        decode_stack_mode=os.environ.get("BENCH_STACK", ""),
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        use_pallas_attention=os.environ.get("BENCH_PALLAS", "0") == "1")
 
     from functools import partial
 

@@ -212,9 +212,9 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             rks, rvs = (cks, cvs) if int8_cache else (None, None)
         if int8_cache:
             new_full = KVCache(ck, cv, cks, cvs)
-            if pallas_bounds is not None and t == 1:
-                # the Pallas decode kernel consumes dense bf16 k/v; dequantize
-                # (int8-aware kernel is future work)
+            if pallas_bounds is not None and t == 1 and not stacked:
+                # the legacy per-layer Pallas kernel consumes dense bf16 k/v
+                # (the stacked kernel below reads int8 + scales directly)
                 k = rk.astype(x.dtype) * rks[..., None].astype(x.dtype)
                 v = rv.astype(x.dtype) * rvs[..., None].astype(x.dtype)
             else:
@@ -236,10 +236,20 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     qg = q.reshape(b, t, hkv, g, d)
     scale = 1.0 / math.sqrt(d)
     if pallas_bounds is not None and cache is not None and t == 1:
-        from ..ops.attention import pallas_decode_attention
-
         lengths, starts = pallas_bounds
-        y = pallas_decode_attention(qg[:, 0], k, v, lengths, starts)
+        if isinstance(cache, StackedCacheView):
+            # read the layer's filled chunks of the full stacked cache in
+            # place — no per-layer slice copy, no unfilled-position traffic
+            from ..ops.attention import pallas_decode_attention_stacked
+
+            nf = new_cache.full
+            y = pallas_decode_attention_stacked(
+                qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
+                lengths, starts)
+        else:
+            from ..ops.attention import pallas_decode_attention
+
+            y = pallas_decode_attention(qg[:, 0], k, v, lengths, starts)
         y = y.reshape(b, 1, h * d)
         out = y @ as_weight(p["wo"], x.dtype).T
         if ad.o_bias:

@@ -183,6 +183,148 @@ def pallas_decode_attention_chunked(q: jax.Array, k_cache: jax.Array,
     )(bounds, q, k_cache, v_cache)
 
 
+def _decode_attn_stacked_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
+                                ks_hbm, vs_hbm, o_ref, *, scale, chunk,
+                                int8_cache):
+    """Grid (B, Hkv). Reads this layer's filled chunks of the FULL stacked
+    (L, B, Hkv, S, D) cache straight from HBM (double-buffered DMA) — no
+    per-layer slice copy, no traffic for unfilled positions. int8 mode DMAs
+    the per-position scale chunks too and folds them into scores/probs."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    li = layer_ref[0]
+    length = bounds_ref[b, 0]
+    start = bounds_ref[b, 1]
+
+    def inner(sk, sv, sks, svs, sem):
+        q = q_ref[0, 0].astype(jnp.float32)                 # (G, D)
+        g, d = q.shape
+        c0 = start // chunk
+        c1 = pl.cdiv(length, chunk)
+
+        def dma(ci, slot):
+            sl = pl.ds(ci * chunk, chunk)
+            copies = [
+                pltpu.make_async_copy(k_hbm.at[li, b, h, sl], sk.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[li, b, h, sl], sv.at[slot],
+                                      sem.at[slot, 1]),
+            ]
+            if int8_cache:
+                # scales are (L, B, H, S): H is a tiled (sublane) dim there,
+                # so a size-1 H slice is Mosaic-illegal — DMA the full-H
+                # stripe (tiny: Hkv*chunk f32) and pick the head row in VMEM
+                copies += [
+                    pltpu.make_async_copy(ks_hbm.at[li, b, :, sl],
+                                          sks.at[slot], sem.at[slot, 2]),
+                    pltpu.make_async_copy(vs_hbm.at[li, b, :, sl],
+                                          svs.at[slot], sem.at[slot, 3]),
+                ]
+            return copies
+
+        for c in dma(c0, 0):
+            c.start()
+
+        def body(ci, carry):
+            m, l, acc = carry
+            slot = (ci - c0) % 2
+            nxt = (ci - c0 + 1) % 2
+
+            @pl.when(ci + 1 < c1)
+            def _():
+                for c in dma(ci + 1, nxt):
+                    c.start()
+
+            for c in dma(ci, slot):
+                c.wait()
+            kc = sk[slot].astype(jnp.float32)                # (chunk, D)
+            s = jnp.dot(q, kc.T, preferred_element_type=jnp.float32) * scale
+            if int8_cache:
+                s = s * sks[slot, pl.ds(h, 1), :]            # (1, chunk)
+            pos = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            valid = (pos < length) & (pos >= start)
+            s = jnp.where(valid, s, jnp.float32(-1e30))
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            if int8_cache:
+                p = p * svs[slot, pl.ds(h, 1), :]
+            acc_new = acc * corr + jnp.dot(
+                p, sv[slot].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((g, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((g, 1), jnp.float32)
+        a0 = jnp.zeros((g, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(c0, c1, body, (m0, l0, a0))
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+    d = q_ref.shape[-1]
+    hkv = k_hbm.shape[2]
+    pl.run_scoped(
+        inner,
+        sk=pltpu.VMEM((2, chunk, d), k_hbm.dtype),
+        sv=pltpu.VMEM((2, chunk, d), v_hbm.dtype),
+        sks=pltpu.VMEM((2, hkv, chunk), jnp.float32),
+        svs=pltpu.VMEM((2, hkv, chunk), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk", "interpret"))
+def pallas_decode_attention_stacked(q: jax.Array, k_full: jax.Array,
+                                    v_full: jax.Array,
+                                    ks_full: jax.Array | None,
+                                    vs_full: jax.Array | None,
+                                    layer: jax.Array, lengths: jax.Array,
+                                    starts: jax.Array, chunk: int = 128,
+                                    interpret: bool | None = None) -> jax.Array:
+    """Decode attention over ONE layer of the stacked cache, read in place.
+
+    q: (B, Hkv, G, D); k/v_full: (L, B, Hkv, S, D) bf16 or int8;
+    ks/vs_full: (L, B, Hkv, S) f32 scales (int8 mode) or None; layer: scalar
+    int32. The carry-mode stack passes its full donated buffers here, so the
+    XLA path's materialized per-layer dynamic_slice copy (measured 2.4 ms/step
+    at B=128 on v5e) never happens, and only filled chunks move at all."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hkv, g, d = q.shape
+    s = k_full.shape[3]
+    if s % chunk != 0:  # small caches (tests/tiny models): one chunk
+        chunk = s
+    scale = 1.0 / math.sqrt(d)
+    int8_cache = ks_full is not None
+    if ks_full is None:
+        # dummy refs keep one kernel signature; never DMA'd in bf16 mode
+        ks_full = jnp.zeros((1, 1, 1, s), jnp.float32)
+        vs_full = ks_full
+    bounds = jnp.stack([lengths.astype(jnp.int32),
+                        starts.astype(jnp.int32)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), lambda bb, hh, *_: (bb, hh, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda bb, hh, *_: (bb, hh, 0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_decode_attn_stacked_kernel, scale=scale, chunk=chunk,
+                int8_cache=int8_cache),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        interpret=interpret,
+    )(bounds, jnp.asarray(layer, jnp.int32)[None], q, k_full, v_full,
+      ks_full, vs_full)
+
+
 def xla_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                          lengths: jax.Array, starts: jax.Array) -> jax.Array:
     """Reference XLA path with identical semantics (used on CPU + in tests)."""

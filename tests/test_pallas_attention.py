@@ -51,6 +51,41 @@ def test_full_decode_with_pallas_attention_matches():
     np.testing.assert_array_equal(base, pallas)
 
 
+def test_stacked_kernel_matches_xla_bf16_and_int8():
+    """Stacked-cache kernel: reads one layer of the (L,B,H,S,D) cache in
+    place; int8 mode applies per-position scales in-kernel."""
+    from fish_speech_tpu.ops.attention import pallas_decode_attention_stacked
+
+    rng = np.random.default_rng(2)
+    L, b, hkv, g, d, s = 3, 4, 8, 4, 32, 256
+    layer = 1
+    q = jnp.asarray(rng.standard_normal((b, hkv, g, d)), jnp.bfloat16)
+    lengths = jnp.asarray([100, 256, 37, 130], jnp.int32)
+    starts = jnp.asarray([0, 30, 5, 0], jnp.int32)
+
+    kf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    vf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    out = pallas_decode_attention_stacked(q, kf, vf, None, None,
+                                          jnp.int32(layer), lengths, starts,
+                                          chunk=64)
+    ref = xla_decode_attention(q, kf[layer], vf[layer], lengths, starts)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    out8 = pallas_decode_attention_stacked(q, k8, v8, ks, vs,
+                                           jnp.int32(layer), lengths, starts,
+                                           chunk=64)
+    kd = k8[layer].astype(jnp.bfloat16) * ks[layer][..., None].astype(jnp.bfloat16)
+    vd = v8[layer].astype(jnp.bfloat16) * vs[layer][..., None].astype(jnp.bfloat16)
+    ref8 = xla_decode_attention(q, kd, vd, lengths, starts)
+    np.testing.assert_allclose(np.asarray(out8, np.float32),
+                               np.asarray(ref8, np.float32), atol=2e-2)
+
+
 def test_chunked_kernel_matches_xla():
     """Length-aware chunked kernel (double-buffered DMA, online softmax)."""
     from fish_speech_tpu.ops.attention import pallas_decode_attention_chunked
