@@ -87,7 +87,13 @@ def main():
         cfg, semantic_begin_id=sem_begin, semantic_end_id=sem_end,
         decode_stack_mode=os.environ.get("BENCH_STACK", ""),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
-        use_pallas_attention=os.environ.get("BENCH_PALLAS", "0") == "1")
+        use_pallas_attention=os.environ.get("BENCH_PALLAS", "0") == "1",
+        w8a8_matmuls=os.environ.get("BENCH_W8A8",
+                                    "1" if on_tpu else "0") == "1",
+        unroll_fast_sweeps=os.environ.get("BENCH_FAST_UNROLL", "0") == "1",
+        kv_cache_dtype="int8" if kv_dtype == jnp.int8 else "native")
+    if cfg.w8a8_matmuls:
+        print("# w8a8 int8 MXU matmuls", file=sys.stderr)
 
     from functools import partial
 

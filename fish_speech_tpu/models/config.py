@@ -76,6 +76,14 @@ class DualARConfig:
     # "native" (params dtype) or "int8": quantized KV cache halves the cache
     # bandwidth that dominates decode at large batch*seq
     kv_cache_dtype: str = "native"
+    # int8 activation x int8 weight MXU dots for quantized layers (2x MXU
+    # rate, no weight-dequant pass; accuracy trade vs the reference's
+    # weight-only PTQ — serving opt-in, see ops/quant.matmul_t)
+    w8a8_matmuls: bool = False
+    # python-unroll the K-1 fast-head sweeps in decode_one_token: static
+    # codebook positions fold RoPE/mask to constants and let attention read
+    # only the filled fast-cache prefix; bit-identical sampling stream
+    unroll_fast_sweeps: bool = False
 
     def __post_init__(self):
         s = lambda k, v: object.__setattr__(self, k, v)
@@ -108,13 +116,14 @@ class DualARConfig:
     def slow_attn(self) -> "AttnDims":
         return AttnDims(self.dim, self.n_head, self.n_local_heads, self.head_dim,
                         self.attention_qkv_bias, self.attention_o_bias,
-                        self.attention_qk_norm)
+                        self.attention_qk_norm, self.w8a8_matmuls)
 
     @property
     def fast_attn(self) -> "AttnDims":
         return AttnDims(self.fast_dim, self.fast_n_head, self.fast_n_local_heads,
                         self.fast_head_dim, self.fast_attention_qkv_bias,
-                        self.fast_attention_o_bias, self.fast_attention_qk_norm)
+                        self.fast_attention_o_bias, self.fast_attention_qk_norm,
+                        self.w8a8_matmuls)
 
     @staticmethod
     def from_json(path: str | Path) -> "DualARConfig":
@@ -179,6 +188,7 @@ class AttnDims:
     qkv_bias: bool
     o_bias: bool
     qk_norm: bool
+    w8a8: bool = False
 
 
 def s2_pro_lm_config(max_seq_len: int = 4096) -> DualARConfig:

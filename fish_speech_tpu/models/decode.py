@@ -137,11 +137,20 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
 
     # Fast head: prime position 0 with the slow hidden state, then emit the
     # residual codebooks autoregressively (ref inference.py:146-174).
+    # int8 KV mode covers the fast cache too: its K sweeps re-read the whole
+    # (L_f, B, H, K, D) cache every step (~2.6 GB/step at B=256), so halving
+    # it is a direct bandwidth win on the same dequant-free attention path.
+    fast_kv_dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
+                     else out.hidden.dtype)
     fast_cache = KVCache.create(cfg.n_fast_layer, b, cfg.num_codebooks,
                                 cfg.fast_n_local_heads, cfg.fast_head_dim,
-                                dtype=out.hidden.dtype)
-    _, fast_cache = forward_generate_fast(params, cfg, hidden, fast_cache,
-                                          jnp.int32(0), fast_freqs_table)
+                                dtype=fast_kv_dtype)
+    # prime position 0: only the cache write matters (codebook 0 IS the
+    # semantic token sampled above), so skip its fast_output projection
+    _, fast_cache = forward_generate_fast(
+        params, cfg, hidden, fast_cache,
+        0 if cfg.unroll_fast_sweeps else jnp.int32(0), fast_freqs_table,
+        want_logits=False)
     code0 = jnp.clip(token - cfg.semantic_begin_id, 0, cfg.codebook_size - 1)
 
     def fast_step(carry, idx):
@@ -156,9 +165,21 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
                              sampling.temperature, sampling.top_p, top_k, greedy)
         return (code, fcache, fkey), code
 
-    (_, _, _), rest_codes = jax.lax.scan(
-        fast_step, (code0, fast_cache, k_fast),
-        jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32))
+    if cfg.unroll_fast_sweeps:
+        # python-unrolled sweeps: static codebook positions fold the RoPE
+        # slice and causal mask to constants, and attention reads only the
+        # filled [0, idx] prefix of the fast cache (the scan form re-reads
+        # all K positions every sweep). Same RNG split chain as the scan, so
+        # the sampled stream is bit-identical.
+        carry, rest = (code0, fast_cache, k_fast), []
+        for idx in range(1, cfg.num_codebooks):
+            carry, code = fast_step(carry, idx)
+            rest.append(code)
+        rest_codes = jnp.stack(rest)  # (K-1, B)
+    else:
+        (_, _, _), rest_codes = jax.lax.scan(
+            fast_step, (code0, fast_cache, k_fast),
+            jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32))
     # rest_codes: (K-1, B) -> (B, K-1)
     column = jnp.concatenate(
         [token[:, None], code0[:, None], rest_codes.T], axis=1)

@@ -19,13 +19,14 @@ token and rows 1..K the codebook codes (ref content_sequence.py:282-324).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.quant import as_weight, is_quantized, take_rows
+from ..ops.quant import as_weight, is_quantized, matmul_t, take_rows
 from .config import AttnDims, DualARConfig
 
 
@@ -109,7 +110,8 @@ class StackedCacheView(NamedTuple):
 def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
               mask: jax.Array, cache: "KVCache | StackedCacheView | None" = None,
               input_pos: jax.Array | None = None,
-              pallas_bounds: tuple | None = None):
+              pallas_bounds: tuple | None = None,
+              bucket_len: jax.Array | None = None):
     """Returns (out, new_cache). cache holds per-layer (B, H_kv, S, D) slices
     (+ scales in int8 mode), or a StackedCacheView in carry mode.
     mask: (B or 1, 1, Tq, S) bool.
@@ -117,7 +119,7 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     cached case through the Pallas decode kernel instead of the einsum path."""
     b, t, _ = x.shape
     h, hkv, d = ad.n_head, ad.n_local_heads, ad.head_dim
-    qkv = x @ as_weight(p["wqkv"], x.dtype).T
+    qkv = matmul_t(x, p["wqkv"], w8a8=ad.w8a8)
     if ad.qkv_bias:
         qkv = qkv + p["wqkv_b"]
     q, k, v = jnp.split(qkv, [h * d, h * d + hkv * d], axis=-1)
@@ -240,10 +242,10 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
         if isinstance(cache, StackedCacheView):
             # read the layer's filled chunks of the full stacked cache in
             # place — no per-layer slice copy, no unfilled-position traffic
-            from ..ops.attention import pallas_decode_attention_stacked
+            from ..ops.attention import pallas_decode_attention_stacked_rows
 
             nf = new_cache.full
-            y = pallas_decode_attention_stacked(
+            y = pallas_decode_attention_stacked_rows(
                 qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
                 lengths, starts)
         else:
@@ -251,7 +253,47 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
 
             y = pallas_decode_attention(qg[:, 0], k, v, lengths, starts)
         y = y.reshape(b, 1, h * d)
-        out = y @ as_weight(p["wo"], x.dtype).T
+        out = matmul_t(y, p["wo"], w8a8=ad.w8a8)
+        if ad.o_bias:
+            out = out + p["wo_b"]
+        return out, new_cache
+    if cache is not None and t == 1 and g > 1:
+        # GQA decode-step formulation transposed to the CACHE's native layout:
+        # contract with k/v as "bhkd" and keep S as the scores' penultimate
+        # axis (the q-major "...->bhgqk" form makes XLA materialize a
+        # layout-transposing copy of the per-layer cache slice before the
+        # scores dot). A 128-slot-prefix lax.switch on bucket_len was tried
+        # here to skip the unfilled cache suffix and MEASURED SLOWER on v5e
+        # (233 -> 199 audio-s/s at 4B B=256: per-layer branch overhead beats
+        # the traffic saved) — attention always reads the full S extent.
+        qd = qg[:, 0]                                     # (B, Hkv, G, D)
+        mask_s = mask[:, :, -1, :, None]                  # (B or 1, 1, S, 1)
+
+        def attend_prefix(si: int):
+            ks_ = jax.lax.slice_in_dim(k, 0, si, axis=2)
+            vv_ = jax.lax.slice_in_dim(v, 0, si, axis=2)
+            m_ = jax.lax.slice_in_dim(mask_s, 0, si, axis=2)
+            if k_scale is not None:
+                ksc = jax.lax.slice_in_dim(k_scale, 0, si, axis=2)
+                st = jnp.einsum("bhkd,bhgd->bhkg", ks_.astype(qd.dtype), qd)
+                st = st.astype(jnp.float32) * (
+                    ksc[..., None].astype(jnp.float32) * scale)
+            else:
+                st = jnp.einsum("bhkd,bhgd->bhkg", ks_, qd)
+                st = st.astype(jnp.float32) * scale
+            st = jnp.where(m_, st, jnp.float32(-1e30))
+            pt = jax.nn.softmax(st, axis=2)
+            if v_scale is not None:
+                vsc = jax.lax.slice_in_dim(v_scale, 0, si, axis=2)
+                pt = pt * vsc[..., None].astype(jnp.float32)
+            return jnp.einsum(
+                "bhkg,bhkd->bhgd", pt.astype(x.dtype),
+                vv_.astype(x.dtype) if vv_.dtype == jnp.int8 else vv_)
+
+        del bucket_len
+        y = attend_prefix(k.shape[2])
+        y = y.reshape(b, 1, h * d)
+        out = matmul_t(y, p["wo"], w8a8=ad.w8a8)
         if ad.o_bias:
             out = out + p["wo_b"]
         return out, new_cache
@@ -277,33 +319,35 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
     else:
         y = jnp.einsum("bhgqk,bkhd->bqhgd", probs_f.astype(x.dtype), v)
     y = y.reshape(b, t, h * d)
-    out = y @ as_weight(p["wo"], x.dtype).T
+    out = matmul_t(y, p["wo"], w8a8=ad.w8a8)
     if ad.o_bias:
         out = out + p["wo_b"]
     return out, new_cache
 
 
-def _ffn(p: dict, x: jax.Array) -> jax.Array:
-    w1 = as_weight(p["w1"], x.dtype)
-    w2 = as_weight(p["w2"], x.dtype)
-    w3 = as_weight(p["w3"], x.dtype)
-    return (jax.nn.silu(x @ w1.T) * (x @ w3.T)) @ w2.T
+def _ffn(p: dict, x: jax.Array, w8a8: bool = False) -> jax.Array:
+    gate = jax.nn.silu(matmul_t(x, p["w1"], w8a8=w8a8))
+    return matmul_t(gate * matmul_t(x, p["w3"], w8a8=w8a8), p["w2"],
+                    w8a8=w8a8)
 
 
 def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
-           cache=None, input_pos=None, pallas_bounds=None):
+           cache=None, input_pos=None, pallas_bounds=None, bucket_len=None):
     a, new_cache = attention(p["attention"], ad,
                              rms_norm(x, p["attention_norm"], eps),
-                             freqs_cis, mask, cache, input_pos, pallas_bounds)
+                             freqs_cis, mask, cache, input_pos, pallas_bounds,
+                             bucket_len)
     h = x + a
-    out = h + _ffn(p["feed_forward"], rms_norm(h, p["ffn_norm"], eps))
+    out = h + _ffn(p["feed_forward"], rms_norm(h, p["ffn_norm"], eps),
+                   w8a8=ad.w8a8)
     return out, new_cache
 
 
 def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
               mask, cache: KVCache | None = None, input_pos: jax.Array | None = None,
               remat: bool = False, unroll: int = 1, unrolled: bool = False,
-              pallas_bounds: tuple | None = None, mode: str = ""):
+              pallas_bounds: tuple | None = None, mode: str = "",
+              bucket_len: jax.Array | None = None):
     """Scan the stacked layer params over depth. Returns (x, new_cache).
 
     `unroll` trades compile time for schedule quality: unrolled layers let XLA
@@ -340,7 +384,7 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
             h, c, i = carry
             out, view = _block(layer_p, ad, eps, h, freqs_cis, mask,
                                StackedCacheView(c, i), input_pos,
-                               pallas_bounds)
+                               pallas_bounds, bucket_len)
             return (out, view.full, i + 1), None
 
         (x, cache, _), _ = jax.lax.scan(
@@ -358,7 +402,8 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
             layer_p = jax.tree.map(lambda a: a[i], layers)
             layer_cache = jax.tree.map(lambda a: a[i], acc)
             x, new_lc = _block(layer_p, ad, eps, x, freqs_cis, mask,
-                               layer_cache, input_pos, pallas_bounds)
+                               layer_cache, input_pos, pallas_bounds,
+                               bucket_len)
             acc = jax.tree.map(
                 lambda full, lc: jax.lax.dynamic_update_index_in_dim(
                     full, lc, i, 0), acc, new_lc)
@@ -367,7 +412,7 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
     def step(h, xs):
         layer_p, layer_cache = xs
         out, new_lc = _block(layer_p, ad, eps, h, freqs_cis, mask, layer_cache,
-                             input_pos, pallas_bounds)
+                             input_pos, pallas_bounds, bucket_len)
         return out, new_lc
 
     x, new_cache = jax.lax.scan(step, x, (layers, cache), unroll=unroll)
@@ -473,6 +518,11 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
         mask = mask & valid[:, None, None, :]
 
     pallas_bounds = None
+    bucket_len = None
+    if t == 1:
+        # current max filled slot count — selects the 128-slot prefix bucket
+        # so attention never reads the unfilled cache suffix
+        bucket_len = jnp.max(positions) + 1
     if cfg.use_pallas_attention and t == 1:
         lengths = positions[..., -1].reshape(-1) + 1
         if lengths.shape[0] != b:
@@ -484,7 +534,7 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
                          freqs_cis, mask, cache, input_pos,
                          unroll=cfg.scan_unroll, unrolled=cfg.unrolled_decode,
                          pallas_bounds=pallas_bounds,
-                         mode=cfg.decode_stack_mode)
+                         mode=cfg.decode_stack_mode, bucket_len=bucket_len)
     if last_only and t > 1:
         x = x[:, -1:, :]
     slow_normed = rms_norm(x, params["norm"], cfg.norm_eps)
@@ -494,12 +544,24 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
 
 
 def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
-                          fast_cache: KVCache, input_pos: jax.Array,
-                          fast_freqs_table: jax.Array):
+                          fast_cache: KVCache, input_pos, fast_freqs_table:
+                          jax.Array, want_logits: bool = True):
     """One fast-head step at codebook position `input_pos` (ref llama.py:798-816).
-    x: (B, fast_dim). Returns (codebook_logits (B, codebook_size), new_cache)."""
+    x: (B, fast_dim). Returns (codebook_logits (B, codebook_size), new_cache).
+
+    input_pos may be a PYTHON int (unrolled sweeps): the RoPE row and causal
+    mask become compile-time constants and attention reads only the filled
+    [0, input_pos] cache prefix. want_logits=False skips the fast_output
+    projection (the priming sweep only needs its cache write)."""
     x = x[:, None, :]  # (B, 1, D)
-    freqs_cis = jax.lax.dynamic_slice_in_dim(fast_freqs_table, input_pos, 1, axis=0)
+    static = isinstance(input_pos, int)
+    if static:
+        freqs_cis = fast_freqs_table[input_pos:input_pos + 1]
+        prefix = input_pos + 1
+    else:
+        freqs_cis = jax.lax.dynamic_slice_in_dim(fast_freqs_table, input_pos,
+                                                 1, axis=0)
+        prefix = None
     key_pos = jnp.arange(cfg.num_codebooks, dtype=jnp.int32)
     mask = (key_pos <= input_pos)[None, None, None]  # (1,1,1,K)
     # fast stack stays scanned: measured slightly faster than unrolled and
@@ -507,9 +569,12 @@ def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
     # double-buffering doesn't matter here)
     x, fast_cache = run_stack(params["fast_layers"], cfg.fast_attn, cfg.norm_eps,
                               x, freqs_cis, mask, fast_cache, input_pos,
-                              unroll=cfg.scan_unroll)
+                              unroll=cfg.scan_unroll, bucket_len=prefix)
+    if not want_logits:
+        return None, fast_cache
     x = rms_norm(x, params["fast_norm"], cfg.norm_eps)
-    logits = x[:, 0, :] @ as_weight(params["fast_output"], x.dtype).T
+    logits = matmul_t(x[:, 0, :], params["fast_output"],
+                      w8a8=cfg.w8a8_matmuls)
     return logits, fast_cache
 
 

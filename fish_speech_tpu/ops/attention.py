@@ -325,6 +325,159 @@ def pallas_decode_attention_stacked(q: jax.Array, k_full: jax.Array,
       ks_full, vs_full)
 
 
+def _decode_attn_stacked_rows_kernel(bounds_ref, layer_ref, q_ref, k_hbm,
+                                     v_hbm, ks_hbm, vs_hbm, o_ref, *, scale,
+                                     chunk, int8_cache, hkv, g):
+    """Grid (B,). One program handles ALL kv heads of one batch row: each DMA
+    moves a (Hkv, chunk, D) block of this layer's stacked cache (16x fewer,
+    16x larger transfers than the per-(b,h) grid, which lost to the XLA
+    einsums on DMA issue overhead), and all H = Hkv*G query heads share one
+    block-diagonal MXU dot per chunk — scores across mismatched (q-head,
+    kv-head) pairs are masked to -inf, so softmax and the probs@V dot stay
+    exact while the MXU sees a single well-shaped (H, Hkv*chunk) matmul."""
+    b = pl.program_id(0)
+    li = layer_ref[0]
+    length = bounds_ref[b, 0]
+    start = bounds_ref[b, 1]
+
+    def inner(sk, sv, sks, svs, sem):
+        q = q_ref[0].astype(jnp.float32)                     # (H, D)
+        h_all, d = q.shape
+        c0 = start // chunk
+        c1 = pl.cdiv(length, chunk)
+
+        def dma(ci, slot):
+            sl = pl.ds(ci * chunk, chunk)
+            copies = [
+                pltpu.make_async_copy(k_hbm.at[li, b, :, sl], sk.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[li, b, :, sl], sv.at[slot],
+                                      sem.at[slot, 1]),
+            ]
+            if int8_cache:
+                copies += [
+                    pltpu.make_async_copy(ks_hbm.at[li, b, :, sl],
+                                          sks.at[slot], sem.at[slot, 2]),
+                    pltpu.make_async_copy(vs_hbm.at[li, b, :, sl],
+                                          svs.at[slot], sem.at[slot, 3]),
+                ]
+            return copies
+
+        for c in dma(c0, 0):
+            c.start()
+
+        # block-diagonal validity: query row r attends kv head r // g only
+        row_kvh = jax.lax.broadcasted_iota(jnp.int32, (h_all, hkv * chunk),
+                                           0) // g
+        col = jax.lax.broadcasted_iota(jnp.int32, (h_all, hkv * chunk), 1)
+        col_kvh = col // chunk
+        col_off = col % chunk
+
+        def body(ci, carry):
+            m, l, acc = carry
+            slot = (ci - c0) % 2
+            nxt = (ci - c0 + 1) % 2
+
+            @pl.when(ci + 1 < c1)
+            def _():
+                for c in dma(ci + 1, nxt):
+                    c.start()
+
+            for c in dma(ci, slot):
+                c.wait()
+            if int8_cache:
+                # dequant in VMEM (f32 multiply, bf16 for the MXU): same
+                # numerics as the materialized-dequant einsum path
+                kc = (sk[slot].astype(jnp.float32)
+                      * sks[slot][..., None]).astype(jnp.bfloat16)
+                vc = (sv[slot].astype(jnp.float32)
+                      * svs[slot][..., None]).astype(jnp.bfloat16)
+            else:
+                kc = sk[slot]
+                vc = sv[slot]
+            kc = kc.reshape(hkv * chunk, d)                  # layout no-op
+            vc = vc.reshape(hkv * chunk, d)
+            s = jnp.dot(q.astype(jnp.bfloat16), kc.T,
+                        preferred_element_type=jnp.float32) * scale
+            pos = ci * chunk + col_off
+            valid = (row_kvh == col_kvh) & (pos < length) & (pos >= start)
+            s = jnp.where(valid, s, jnp.float32(-1e30))
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * corr + jnp.dot(
+                p.astype(jnp.bfloat16), vc,
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((h_all, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((h_all, 1), jnp.float32)
+        a0 = jnp.zeros((h_all, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(c0, c1, body, (m0, l0, a0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+    d = q_ref.shape[-1]
+    pl.run_scoped(
+        inner,
+        sk=pltpu.VMEM((2, hkv, chunk, d), k_hbm.dtype),
+        sv=pltpu.VMEM((2, hkv, chunk, d), v_hbm.dtype),
+        sks=pltpu.VMEM((2, hkv, chunk), jnp.float32),
+        svs=pltpu.VMEM((2, hkv, chunk), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk", "interpret"))
+def pallas_decode_attention_stacked_rows(
+        q: jax.Array, k_full: jax.Array, v_full: jax.Array,
+        ks_full: jax.Array | None, vs_full: jax.Array | None,
+        layer: jax.Array, lengths: jax.Array, starts: jax.Array,
+        chunk: int = 128, interpret: bool | None = None) -> jax.Array:
+    """Row-batched variant of `pallas_decode_attention_stacked` (grid (B,)
+    instead of (B, Hkv)): same in-place read of one layer's filled chunks of
+    the (L, B, Hkv, S, D) cache, but all kv heads move in one DMA and all
+    query heads share one MXU dot per chunk.
+
+    q: (B, Hkv, G, D); returns (B, Hkv, G, D) in q.dtype."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hkv, g, d = q.shape
+    s = k_full.shape[3]
+    if s % chunk != 0:
+        chunk = s
+    scale = 1.0 / math.sqrt(d)
+    int8_cache = ks_full is not None
+    if ks_full is None:
+        ks_full = jnp.zeros((1, 1, 1, s), jnp.float32)
+        vs_full = ks_full
+    bounds = jnp.stack([lengths.astype(jnp.int32),
+                        starts.astype(jnp.int32)], axis=1)
+    qf = q.reshape(b, hkv * g, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hkv * g, d), lambda bb, *_: (bb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hkv * g, d), lambda bb, *_: (bb, 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_decode_attn_stacked_rows_kernel, scale=scale, chunk=chunk,
+                int8_cache=int8_cache, hkv=hkv, g=g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv * g, d), q.dtype),
+        interpret=interpret,
+    )(bounds, jnp.asarray(layer, jnp.int32)[None], qf, k_full, v_full,
+      ks_full, vs_full)
+    return out.reshape(b, hkv, g, d)
+
+
 def xla_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                          lengths: jax.Array, starts: jax.Array) -> jax.Array:
     """Reference XLA path with identical semantics (used on CPU + in tests)."""

@@ -58,6 +58,32 @@ def as_weight(w, dtype=jnp.bfloat16):
     return deq.reshape(*lead, out, inner)
 
 
+def matmul_t(x: jax.Array, w, *, w8a8: bool = False) -> jax.Array:
+    """x @ W.T for a plain or quantized weight leaf.
+
+    w8a8=True + per-channel int8 weight: dynamic per-row activation
+    quantization and a native int8xint8->int32 MXU dot (2x the bf16 MXU rate
+    on v5e, and no weight-dequant VPU pass), rescaled by the rank-1 outer
+    product of activation and channel scales. At the 4B serving batch the
+    decode step is MXU-bound, so this is the serving fast path; it is an
+    accuracy trade (the reference's PTQ is weight-only, tools/llama/
+    quantize.py:190) and stays opt-in via DualARConfig.w8a8_matmuls."""
+    if not is_quantized(w):
+        return x @ w.T
+    if w8a8 and "s" in w:
+        xf = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        x8 = jnp.round(xf / xs).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x8, w["q"],
+            (((x8.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * xs * w["s"].astype(jnp.float32)
+        return y.astype(x.dtype)
+    return x @ as_weight(w, x.dtype).T
+
+
 def take_rows(w, idx, dtype=jnp.bfloat16):
     """Embedding-style row gather that dequantizes only the gathered rows."""
     if not is_quantized(w):

@@ -86,6 +86,41 @@ def test_stacked_kernel_matches_xla_bf16_and_int8():
                                np.asarray(ref8, np.float32), atol=2e-2)
 
 
+def test_stacked_rows_kernel_matches_xla_bf16_and_int8():
+    """Row-batched stacked kernel (grid (B,), all kv heads per DMA, one
+    block-diagonal dot for all query heads) must match the einsum path."""
+    from fish_speech_tpu.ops.attention import (
+        pallas_decode_attention_stacked_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    L, b, hkv, g, d, s = 3, 4, 8, 4, 32, 256
+    layer = 2
+    q = jnp.asarray(rng.standard_normal((b, hkv, g, d)), jnp.bfloat16)
+    lengths = jnp.asarray([100, 256, 37, 130], jnp.int32)
+    starts = jnp.asarray([0, 30, 5, 0], jnp.int32)
+
+    kf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    vf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    out = pallas_decode_attention_stacked_rows(
+        q, kf, vf, None, None, jnp.int32(layer), lengths, starts, chunk=64)
+    ref = xla_decode_attention(q, kf[layer], vf[layer], lengths, starts)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    out8 = pallas_decode_attention_stacked_rows(
+        q, k8, v8, ks, vs, jnp.int32(layer), lengths, starts, chunk=64)
+    kd = k8[layer].astype(jnp.bfloat16) * ks[layer][..., None].astype(jnp.bfloat16)
+    vd = v8[layer].astype(jnp.bfloat16) * vs[layer][..., None].astype(jnp.bfloat16)
+    ref8 = xla_decode_attention(q, kd, vd, lengths, starts)
+    np.testing.assert_allclose(np.asarray(out8, np.float32),
+                               np.asarray(ref8, np.float32), atol=2e-2)
+
+
 def test_chunked_kernel_matches_xla():
     """Length-aware chunked kernel (double-buffered DMA, online softmax)."""
     from fish_speech_tpu.ops.attention import pallas_decode_attention_chunked
@@ -101,3 +136,29 @@ def test_chunked_kernel_matches_xla():
     a = xla_decode_attention(q, k, v, lengths, starts)
     c = pallas_decode_attention_chunked(q, k, v, lengths, starts, chunk=64)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_bucketed_prefix_attention_matches_full():
+    """S=256 activates the 128-slot prefix lax.switch; S=250 (non-multiple)
+    runs the full-cache einsum. Greedy streams must be identical (dropping
+    fully-masked suffix positions is exact: exp(-1e30 - m) == 0 in f32)."""
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.decode import SamplingConfig, generate
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.sampling import semantic_logit_bias
+    from ref_harness import random_lm_prompt
+
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(2), cfg)
+    prompt = random_lm_prompt(cfg, 13, np.random.default_rng(7))
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, 4)
+
+    def run(cache_len):
+        codes, _ = generate(
+            params, cfg, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+            jax.random.key(0), SamplingConfig.create(), bias,
+            max_new_tokens=8, im_end_id=4, greedy=True, cache_len=cache_len)
+        return np.asarray(codes)
+
+    np.testing.assert_array_equal(run(256), run(250))

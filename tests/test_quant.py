@@ -129,3 +129,56 @@ def test_int8_kv_cache_decode_tracks_fp():
     # main-token stream should agree for at least the first few columns
     assert (q[0, 0, :2] == fp[0, 0, :2]).all()
     assert (q[:, 1:] >= 0).all() and (q[:, 1:] < cfg.codebook_size).all()
+
+
+def test_matmul_t_w8a8_close_to_dequant():
+    """int8xint8 MXU form ~= weight-only dequant form (both quantize the
+    weight identically; w8a8 adds per-row activation quantization, so the
+    tolerance is the activation-quant error bound)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fish_speech_tpu.ops.quant import matmul_t, quantize_weight
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((16, 256)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((128, 256)) * 0.05, jnp.float32)
+    qw = jax.jit(quantize_weight)(w)
+    ref = matmul_t(x, qw, w8a8=False)
+    out = matmul_t(x, qw, w8a8=True)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    scale = np.abs(np.asarray(ref, np.float32)).max()
+    assert err.max() / scale < 0.02, err.max() / scale
+
+
+def test_decode_runs_with_w8a8():
+    """Full decode program compiles and runs with w8a8 matmuls + quantized
+    params; output codes stay in the valid semantic/codebook ranges."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.decode import SamplingConfig, generate
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+    from fish_speech_tpu.ops.sampling import semantic_logit_bias
+    from ref_harness import random_lm_prompt
+
+    cfg = dataclasses.replace(tiny_dual_ar_config(), w8a8_matmuls=True)
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    params = jax.jit(quantize_lm_params)(params)
+    prompt = random_lm_prompt(cfg, 9, np.random.default_rng(1))
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, 4)
+    codes, lengths = generate(
+        params, cfg, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+        jax.random.key(1), SamplingConfig.create(), bias,
+        max_new_tokens=6, im_end_id=4, cache_len=64)
+    codes = np.asarray(codes)
+    main = codes[0, 0]
+    ok = ((main >= cfg.semantic_begin_id) & (main <= cfg.semantic_end_id)) | (
+        main == 4)
+    assert ok.all(), main
+    assert (codes[0, 1:] >= 0).all() and (codes[0, 1:] < cfg.codebook_size).all()

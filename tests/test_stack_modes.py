@@ -78,3 +78,41 @@ def test_carry_mode_in_batcher_scatter_path():
     scan_out, carry_out = run("scan"), run("carry")
     for i in scan_out:
         np.testing.assert_array_equal(carry_out[i], scan_out[i])
+
+
+def test_unrolled_fast_sweeps_bit_identical():
+    """unroll_fast_sweeps=True must reproduce the scan form's SAMPLED stream
+    exactly (same RNG split chain, static positions fold to constants)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.decode import SamplingConfig, generate
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.sampling import semantic_logit_bias
+    from ref_harness import random_lm_prompt
+
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(4), cfg)
+    prompt = random_lm_prompt(cfg, 10, np.random.default_rng(11))
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, 4)
+
+    def run(c):
+        codes, _ = generate(
+            params, c, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+            jax.random.key(3), SamplingConfig.create(), bias,
+            max_new_tokens=7, im_end_id=4, cache_len=64)
+        return np.asarray(codes)
+
+    base = run(cfg)
+    unrolled = run(dataclasses.replace(cfg, unroll_fast_sweeps=True))
+    np.testing.assert_array_equal(base, unrolled)
+
+    # and with the int8 fast cache active
+    base8 = run(dataclasses.replace(cfg, kv_cache_dtype="int8"))
+    unrolled8 = run(dataclasses.replace(cfg, kv_cache_dtype="int8",
+                                        unroll_fast_sweeps=True))
+    np.testing.assert_array_equal(base8, unrolled8)

@@ -57,8 +57,9 @@ def run_workload(args):
     sem_begin = cfg.vocab_size - cfg.codebook_size - 8
     sem_end = cfg.vocab_size - 8 - 1
     bias = semantic_logit_bias(cfg.vocab_size, sem_begin, sem_end, 5)
-    cfg = dataclasses.replace(cfg, semantic_begin_id=sem_begin,
-                              semantic_end_id=sem_end)
+    cfg = dataclasses.replace(
+        cfg, semantic_begin_id=sem_begin, semantic_end_id=sem_end,
+        kv_cache_dtype="int8" if args.kv_int8 else "native")
     sampling = SamplingConfig.create()
     prev_win = jnp.zeros((args.batch, RAS_WIN_SIZE), jnp.int32)
 
@@ -69,7 +70,8 @@ def run_workload(args):
             key, sub = jax.random.split(key)
             col, new_cache = decode_one_token(
                 params, cfg, cur, cache, pos + i, freqs, fast_freqs, bias,
-                sub, sampling, prev_win, top_k=30, greedy=False)
+                sub, sampling, prev_win, top_k=30, greedy=False,
+                sample_support=(sem_begin, sem_end, 5))
             return new_cache, col[:, :, None], key
 
         cache, cur, key = jax.lax.fori_loop(0, args.steps, body,
