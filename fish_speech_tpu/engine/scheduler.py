@@ -90,6 +90,11 @@ class ContinuousBatcher:
         # host-side slot metadata
         self.slot_req: list[SlotRequest | None] = [None] * num_slots
         self.slot_budget = np.zeros(num_slots, dtype=np.int64)
+        # host-side mirror of the device `active` flags: the host observes
+        # every (de)activation it needs (assign, budget, im_end in fetched
+        # tokens), so scheduling queries never pay a device->host round-trip
+        # (each one is a full tunnel RTT on remote-attached TPUs)
+        self.active_h = np.zeros(num_slots, dtype=bool)
         # constrained decoding only samples semantic ids + im_end, so the
         # decode programs compute logits over just that support (exact under
         # semantic_logit_bias; see models/decode.decode_one_token)
@@ -222,6 +227,7 @@ class ContinuousBatcher:
         self.prev_win = self.prev_win.at[slot].set(
             jnp.zeros(RAS_WIN_SIZE, jnp.int32).at[-1].set(col[0]))
         self.active = self.active.at[slot].set(True)
+        self.active_h[slot] = True
         self.slot_req[slot] = req
         self.slot_budget[slot] = min(req.max_new_tokens,
                                      self.cache_len - bucket) - 1
@@ -237,6 +243,7 @@ class ContinuousBatcher:
     def _finish_slot(self, slot: int, emit_last: bool):
         req = self.slot_req[slot]
         self.active = self.active.at[slot].set(False)
+        self.active_h[slot] = False
         self.slot_req[slot] = None
         if req is not None:
             req.done.set()
@@ -249,9 +256,8 @@ class ContinuousBatcher:
             SamplingConfig(self.temp, self.top_p))
         self.cur, self.pos, self.prev_win = col, pos, win
 
-        col_h = np.asarray(col)
-        fin_h = np.asarray(finished)
-        active_h = np.asarray(self.active)
+        col_h, fin_h = jax.device_get((col, finished))  # one fetch
+        active_h = self.active_h.copy()
         for slot in range(self.num_slots):
             if not active_h[slot]:
                 continue
@@ -277,7 +283,7 @@ class ContinuousBatcher:
         size bounds added first-token latency."""
         if n <= 1:
             return self.step()
-        active_before = np.asarray(self.active)
+        active_before = self.active_h.copy()
         (self.cache, self.cur, self.pos, self.active, self.prev_win,
          self.key, out) = self._tick_chunk_fn(
             self.params, self.cache, self.cur, self.pos,
@@ -310,12 +316,11 @@ class ContinuousBatcher:
             self.active = self.active.at[idx].set(False)
 
     def free_slots(self) -> list[int]:
-        active_h = np.asarray(self.active)
-        return [i for i in range(self.num_slots) if not active_h[i]
+        return [i for i in range(self.num_slots) if not self.active_h[i]
                 and self.slot_req[i] is None]
 
     def has_active(self) -> bool:
-        return bool(np.asarray(self.active).any())
+        return bool(self.active_h.any())
 
     # ------------------------------------------------------------------
     def run(self, requests: list[SlotRequest],

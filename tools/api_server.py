@@ -66,6 +66,10 @@ def build_engine(args):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, kv_cache_dtype=args.kv_cache)
+    if getattr(args, "w8a8", False):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, w8a8_matmuls=True)
 
     if args.codec_checkpoint:
         from fish_speech_tpu.codec import convert_dac_state_dict, s2_pro_codec_config
@@ -106,6 +110,10 @@ def main():
                         help=">1 runs N decode ticks per device dispatch "
                              "(throughput mode; adds up to N tokens of "
                              "streaming latency)")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="int8 activation x int8 weight MXU matmuls for "
+                             "quantized checkpoints (2x MXU rate; small "
+                             "accuracy trade vs weight-only dequant)")
     args = parser.parse_args()
 
     from aiohttp import web

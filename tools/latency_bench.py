@@ -35,6 +35,8 @@ def main():
                     help="S2-Pro-scale LM + codec (random weights)")
     ap.add_argument("--quant", action="store_true", help="int8 weight-only LM")
     ap.add_argument("--kv-int8", action="store_true", help="int8 KV cache")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="int8 activation x weight MXU matmuls")
     ap.add_argument("--chunk-frames", type=int, default=8,
                     help="acoustic frames per emitted audio chunk")
     ap.add_argument("--scheduler-chunk", type=int, default=1,
@@ -87,6 +89,10 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, kv_cache_dtype="int8")
+    if args.w8a8:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, w8a8_matmuls=True)
     params = init_dual_ar_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     if args.quant:
         from fish_speech_tpu.ops.quant import quantize_lm_params

@@ -82,6 +82,46 @@ def main():
             return jnp.einsum("bhgk,bhkd->bhgd", pv, v.astype(q.dtype))
         return jnp.einsum("bhgk,bhkd->bhgd", probs.astype(q.dtype), v)
 
+    # same cache stored as (L, B, S, Hkv, D): the memory order the einsum
+    # path's transposing copy produces — if XLA reads it in place, the
+    # 4.8 ms/step copy disappears. Generated only when requested (holding
+    # both layouts OOMs the chip), with the same values reshaped is not
+    # needed — this is a bandwidth benchmark.
+    if "einsum_bshd" in args.paths:
+        if int8:
+            kf2 = jax.random.bits(kk, (L, B, S, Hkv, D), jnp.uint8).astype(jnp.int8)
+            vf2 = jax.random.bits(kv, (L, B, S, Hkv, D), jnp.uint8).astype(jnp.int8)
+            ks2 = jax.random.uniform(kk, (L, B, S, Hkv), jnp.float32, 0.001, 0.02)
+            vs2 = jax.random.uniform(kv, (L, B, S, Hkv), jnp.float32, 0.001, 0.02)
+        else:
+            kf2 = jax.random.normal(kk, (L, B, S, Hkv, D), jnp.bfloat16)
+            vf2 = jax.random.normal(kv, (L, B, S, Hkv, D), jnp.bfloat16)
+            ks2 = vs2 = None
+        if args.paths == "einsum_bshd":
+            del kf, vf
+            kf = vf = None
+
+    def einsum_bshd_layer(li):
+        didx = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+        k, v = didx(kf2), didx(vf2)                      # (B, S, Hkv, D)
+        scale = 1.0 / (D ** 0.5)
+        if int8:
+            rks, rvs = didx(ks2), didx(vs2)              # (B, S, Hkv)
+            st = jnp.einsum("bkhd,bhgd->bhkg", k.astype(q.dtype), q)
+            st = st.astype(jnp.float32) * (
+                rks.transpose(0, 2, 1)[..., None].astype(jnp.float32) * scale)
+        else:
+            st = jnp.einsum("bkhd,bhgd->bhkg", k, q).astype(jnp.float32) * scale
+        pos = jnp.arange(S, dtype=jnp.int32)
+        valid = ((pos[None, :] < lengths[:, None])
+                 & (pos[None, :] >= starts[:, None]))
+        st = jnp.where(valid[:, None, :, None], st, jnp.float32(-1e30))
+        pt = jax.nn.softmax(st, axis=2)
+        if int8:
+            pt = pt * rvs.transpose(0, 2, 1)[..., None].astype(jnp.float32)
+        return jnp.einsum("bhkg,bkhd->bhgd", pt.astype(q.dtype),
+                          v.astype(q.dtype) if int8 else v)
+
     def kernel_layer(fn, li):
         return fn(q, kf, vf, ks, vs, li, lengths, starts)
 
@@ -92,6 +132,7 @@ def main():
 
     paths = {
         "einsum": einsum_layer,
+        "einsum_bshd": einsum_bshd_layer,
         "stacked": partial(kernel_layer, pallas_decode_attention_stacked),
         "rows": partial(kernel_layer, pallas_decode_attention_stacked_rows),
     }
