@@ -87,6 +87,7 @@ def main():
         cfg, semantic_begin_id=sem_begin, semantic_end_id=sem_end,
         decode_stack_mode=os.environ.get("BENCH_STACK", ""),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        fast_scan_unroll=int(os.environ.get("BENCH_FAST_SCAN_UNROLL", "1")),
         use_pallas_attention=os.environ.get("BENCH_PALLAS", "0") == "1",
         w8a8_matmuls=os.environ.get("BENCH_W8A8",
                                     "1" if on_tpu else "0") == "1",

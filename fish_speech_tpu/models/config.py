@@ -63,6 +63,10 @@ class DualARConfig:
     # XLA schedule knob: unroll factor for the layer scans in the decode path
     # (weight prefetch overlap); no numerical effect
     scan_unroll: int = 1
+    # separate unroll for the fast-head layer scan (its per-layer ops are
+    # small, so schedule overlap matters more there; slow-stack unroll>1
+    # measured strictly worse)
+    fast_scan_unroll: int = 1
     # legacy flag (superseded by decode_stack_mode="unrolled"; kept for
     # checkpoint-config compatibility, otherwise ignored)
     unrolled_decode: bool = False

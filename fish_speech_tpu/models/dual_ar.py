@@ -297,6 +297,10 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
         if ad.o_bias:
             out = out + p["wo_b"]
         return out, new_cache
+    # NOTE a static [0, bucket_len) prefix slice here (python-unrolled fast
+    # sweeps) was tried and MEASURED SLOWER on v5e (243 -> 227 audio-s/s at
+    # 4B B=256): odd-sized sublane slices force relayouts that cost more
+    # than the skipped tail of a K=10 cache. Attention reads the full extent.
     if cache is not None and k_scale is not None:
         scores = jnp.einsum("bqhgd,bhkd->bhgqk", qg, k.astype(qg.dtype))
         scores = scores.astype(jnp.float32) * (
@@ -569,7 +573,7 @@ def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
     # double-buffering doesn't matter here)
     x, fast_cache = run_stack(params["fast_layers"], cfg.fast_attn, cfg.norm_eps,
                               x, freqs_cis, mask, fast_cache, input_pos,
-                              unroll=cfg.scan_unroll, bucket_len=prefix)
+                              unroll=cfg.fast_scan_unroll, bucket_len=prefix)
     if not want_logits:
         return None, fast_cache
     x = rms_norm(x, params["fast_norm"], cfg.norm_eps)
