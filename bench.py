@@ -42,11 +42,12 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        # default = best verified serving config: int8 weight-only (the
-        # reference ships the same PTQ mode), int8 KV cache, carry-mode layer
-        # stack, batch 256, cache 384 -> 161.5 audio-s/s/chip on v5e.
-        # BENCH_QUANT=0 / BENCH_KV=bf16 / BENCH_BATCH / BENCH_CACHE /
-        # BENCH_STACK override; see README for the measured matrix.
+        # default = best verified serving config: int8 weights + W8A8 MXU
+        # dots, int8 KV cache (slow + fast stacks), carry-mode layer stack,
+        # batch 256, cache 384 -> ~245 audio-s/s/chip on v5e. BENCH_QUANT=0 /
+        # BENCH_W8A8=0 / BENCH_KV=bf16 / BENCH_BATCH / BENCH_CACHE /
+        # BENCH_STACK / BENCH_FAST_UNROLL / BENCH_FAST_SCAN_UNROLL override;
+        # see README for the measured matrix.
         cfg = s2_pro_lm_config(max_seq_len=2048)
         batch = int(os.environ.get("BENCH_BATCH", "256"))
         cache_len = int(os.environ.get("BENCH_CACHE", "384"))

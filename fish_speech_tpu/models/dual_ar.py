@@ -110,8 +110,7 @@ class StackedCacheView(NamedTuple):
 def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
               mask: jax.Array, cache: "KVCache | StackedCacheView | None" = None,
               input_pos: jax.Array | None = None,
-              pallas_bounds: tuple | None = None,
-              bucket_len: jax.Array | None = None):
+              pallas_bounds: tuple | None = None):
     """Returns (out, new_cache). cache holds per-layer (B, H_kv, S, D) slices
     (+ scales in int8 mode), or a StackedCacheView in carry mode.
     mask: (B or 1, 1, Tq, S) bool.
@@ -262,10 +261,10 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
         # contract with k/v as "bhkd" and keep S as the scores' penultimate
         # axis (the q-major "...->bhgqk" form makes XLA materialize a
         # layout-transposing copy of the per-layer cache slice before the
-        # scores dot). A 128-slot-prefix lax.switch on bucket_len was tried
-        # here to skip the unfilled cache suffix and MEASURED SLOWER on v5e
-        # (233 -> 199 audio-s/s at 4B B=256: per-layer branch overhead beats
-        # the traffic saved) — attention always reads the full S extent.
+        # scores dot). A 128-slot-prefix lax.switch on the max filled length
+        # was tried here to skip the unfilled cache suffix and MEASURED
+        # SLOWER on v5e (233 -> 199 audio-s/s at 4B B=256: per-layer branch
+        # overhead beats the traffic saved) — always read the full S extent.
         qd = qg[:, 0]                                     # (B, Hkv, G, D)
         mask_s = mask[:, :, -1, :, None]                  # (B or 1, 1, S, 1)
 
@@ -290,7 +289,6 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
                 "bhkg,bhkd->bhgd", pt.astype(x.dtype),
                 vv_.astype(x.dtype) if vv_.dtype == jnp.int8 else vv_)
 
-        del bucket_len
         y = attend_prefix(k.shape[2])
         y = y.reshape(b, 1, h * d)
         out = matmul_t(y, p["wo"], w8a8=ad.w8a8)
@@ -336,11 +334,10 @@ def _ffn(p: dict, x: jax.Array, w8a8: bool = False) -> jax.Array:
 
 
 def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
-           cache=None, input_pos=None, pallas_bounds=None, bucket_len=None):
+           cache=None, input_pos=None, pallas_bounds=None):
     a, new_cache = attention(p["attention"], ad,
                              rms_norm(x, p["attention_norm"], eps),
-                             freqs_cis, mask, cache, input_pos, pallas_bounds,
-                             bucket_len)
+                             freqs_cis, mask, cache, input_pos, pallas_bounds)
     h = x + a
     out = h + _ffn(p["feed_forward"], rms_norm(h, p["ffn_norm"], eps),
                    w8a8=ad.w8a8)
@@ -350,8 +347,7 @@ def _block(p: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis, mask,
 def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
               mask, cache: KVCache | None = None, input_pos: jax.Array | None = None,
               remat: bool = False, unroll: int = 1, unrolled: bool = False,
-              pallas_bounds: tuple | None = None, mode: str = "",
-              bucket_len: jax.Array | None = None):
+              pallas_bounds: tuple | None = None, mode: str = ""):
     """Scan the stacked layer params over depth. Returns (x, new_cache).
 
     `unroll` trades compile time for schedule quality: unrolled layers let XLA
@@ -388,7 +384,7 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
             h, c, i = carry
             out, view = _block(layer_p, ad, eps, h, freqs_cis, mask,
                                StackedCacheView(c, i), input_pos,
-                               pallas_bounds, bucket_len)
+                               pallas_bounds)
             return (out, view.full, i + 1), None
 
         (x, cache, _), _ = jax.lax.scan(
@@ -406,8 +402,7 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
             layer_p = jax.tree.map(lambda a: a[i], layers)
             layer_cache = jax.tree.map(lambda a: a[i], acc)
             x, new_lc = _block(layer_p, ad, eps, x, freqs_cis, mask,
-                               layer_cache, input_pos, pallas_bounds,
-                               bucket_len)
+                               layer_cache, input_pos, pallas_bounds)
             acc = jax.tree.map(
                 lambda full, lc: jax.lax.dynamic_update_index_in_dim(
                     full, lc, i, 0), acc, new_lc)
@@ -416,7 +411,7 @@ def run_stack(layers: dict, ad: AttnDims, eps: float, x: jax.Array, freqs_cis,
     def step(h, xs):
         layer_p, layer_cache = xs
         out, new_lc = _block(layer_p, ad, eps, h, freqs_cis, mask, layer_cache,
-                             input_pos, pallas_bounds, bucket_len)
+                             input_pos, pallas_bounds)
         return out, new_lc
 
     x, new_cache = jax.lax.scan(step, x, (layers, cache), unroll=unroll)
@@ -522,11 +517,6 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
         mask = mask & valid[:, None, None, :]
 
     pallas_bounds = None
-    bucket_len = None
-    if t == 1:
-        # current max filled slot count — selects the 128-slot prefix bucket
-        # so attention never reads the unfilled cache suffix
-        bucket_len = jnp.max(positions) + 1
     if cfg.use_pallas_attention and t == 1:
         lengths = positions[..., -1].reshape(-1) + 1
         if lengths.shape[0] != b:
@@ -538,7 +528,7 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
                          freqs_cis, mask, cache, input_pos,
                          unroll=cfg.scan_unroll, unrolled=cfg.unrolled_decode,
                          pallas_bounds=pallas_bounds,
-                         mode=cfg.decode_stack_mode, bucket_len=bucket_len)
+                         mode=cfg.decode_stack_mode)
     if last_only and t > 1:
         x = x[:, -1:, :]
     slow_normed = rms_norm(x, params["norm"], cfg.norm_eps)
@@ -554,18 +544,14 @@ def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
     x: (B, fast_dim). Returns (codebook_logits (B, codebook_size), new_cache).
 
     input_pos may be a PYTHON int (unrolled sweeps): the RoPE row and causal
-    mask become compile-time constants and attention reads only the filled
-    [0, input_pos] cache prefix. want_logits=False skips the fast_output
-    projection (the priming sweep only needs its cache write)."""
+    mask become compile-time constants. want_logits=False skips the
+    fast_output projection (the priming sweep only needs its cache write)."""
     x = x[:, None, :]  # (B, 1, D)
-    static = isinstance(input_pos, int)
-    if static:
+    if isinstance(input_pos, int):
         freqs_cis = fast_freqs_table[input_pos:input_pos + 1]
-        prefix = input_pos + 1
     else:
         freqs_cis = jax.lax.dynamic_slice_in_dim(fast_freqs_table, input_pos,
                                                  1, axis=0)
-        prefix = None
     key_pos = jnp.arange(cfg.num_codebooks, dtype=jnp.int32)
     mask = (key_pos <= input_pos)[None, None, None]  # (1,1,1,K)
     # fast stack stays scanned: measured slightly faster than unrolled and
@@ -573,7 +559,7 @@ def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
     # double-buffering doesn't matter here)
     x, fast_cache = run_stack(params["fast_layers"], cfg.fast_attn, cfg.norm_eps,
                               x, freqs_cis, mask, fast_cache, input_pos,
-                              unroll=cfg.fast_scan_unroll, bucket_len=prefix)
+                              unroll=cfg.fast_scan_unroll)
     if not want_logits:
         return None, fast_cache
     x = rms_norm(x, params["fast_norm"], cfg.norm_eps)
