@@ -182,3 +182,43 @@ def test_decode_runs_with_w8a8():
         main == 4)
     assert ok.all(), main
     assert (codes[0, 1:] >= 0).all() and (codes[0, 1:] < cfg.codebook_size).all()
+
+
+def test_w8a8_logits_close_and_topk_stable():
+    """Bound the W8A8 accuracy trade at the model level: teacher-forced
+    logits of a quantized tiny model in W8A8 vs weight-only-dequant mode
+    must agree on top-1 for the vast majority of positions and stay close
+    in value relative to the logit scale."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.dual_ar import forward_train
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+    from ref_harness import random_lm_prompt
+
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(5), cfg)
+    qparams = jax.jit(quantize_lm_params)(params)
+    prompt = np.stack([random_lm_prompt(cfg, 24, np.random.default_rng(s))
+                       for s in range(4)])  # (4, K+1, 24)
+
+    def logits(c):
+        out = forward_train(qparams, c, jnp.asarray(prompt), remat=False)
+        return (np.asarray(out.token_logits, np.float32),
+                np.asarray(out.codebook_logits, np.float32))
+
+    tok_ref, cb_ref = logits(cfg)
+    tok_w8, cb_w8 = logits(dataclasses.replace(cfg, w8a8_matmuls=True))
+
+    for ref, got in ((tok_ref, tok_w8), (cb_ref, cb_w8)):
+        scale = np.abs(ref).max()
+        mae = np.abs(ref - got).mean()
+        assert mae / scale < 0.02, (mae, scale)
+        top1_ref = ref.argmax(-1)
+        top1_got = got.argmax(-1)
+        agree = (top1_ref == top1_got).mean()
+        assert agree > 0.9, agree
