@@ -35,6 +35,10 @@ def main():
     p.add_argument("--codec-checkpoint", type=Path, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--chunk-length", type=int, default=300)
+    p.add_argument("--kv-cache", choices=["native", "int8"], default="native")
+    p.add_argument("--w8a8", action="store_true",
+                   help="int8 activation x weight MXU matmuls (quantized "
+                        "checkpoints)")
     args = p.parse_args()
 
     from api_server import build_engine
@@ -44,6 +48,8 @@ def main():
         codec_checkpoint = (str(args.codec_checkpoint)
                             if args.codec_checkpoint else None)
         cache_len = 4096 if args.checkpoint_path else 2048
+        kv_cache = args.kv_cache
+        w8a8 = args.w8a8
 
     engine = build_engine(EngineArgs)
 
