@@ -89,7 +89,15 @@ def main():
         decode_stack_mode=os.environ.get("BENCH_STACK", ""),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         fast_scan_unroll=int(os.environ.get("BENCH_FAST_SCAN_UNROLL", "1")),
-        use_pallas_attention=os.environ.get("BENCH_PALLAS", "0") == "1",
+        # BENCH_PALLAS: 0 = einsums, 1/rows = per-row stacked kernel,
+        # blocks[N] = block-of-rows kernel with N rows/cell (default 16);
+        # append "-bf16" to keep the score dot off the int8 MXU
+        use_pallas_attention=(pallas_mode := os.environ.get(
+            "BENCH_PALLAS", "0")) not in ("0", ""),
+        pallas_attn_block_rows=(
+            int(pallas_mode.removeprefix("blocks").split("-")[0] or 16)
+            if pallas_mode.startswith("blocks") else 0),
+        pallas_attn_int8_scores=not pallas_mode.endswith("-bf16"),
         w8a8_matmuls=os.environ.get("BENCH_W8A8",
                                     "1" if on_tpu else "0") == "1",
         unroll_fast_sweeps=os.environ.get("BENCH_FAST_UNROLL", "0") == "1",

@@ -77,6 +77,12 @@ class DualARConfig:
     # route T=1 cached attention through the Pallas decode kernel
     # (ops/attention.py) instead of the XLA einsum path
     use_pallas_attention: bool = False
+    # with use_pallas_attention: >0 selects the block-of-rows stacked kernel
+    # (that many batch rows per grid cell); 0 keeps the per-row kernel
+    pallas_attn_block_rows: int = 0
+    # block-of-rows kernel: run the score dot on the int8 MXU (q quantized
+    # per row/head in-kernel; needs int8 KV cache)
+    pallas_attn_int8_scores: bool = True
     # "native" (params dtype) or "int8": quantized KV cache halves the cache
     # bandwidth that dominates decode at large batch*seq
     kv_cache_dtype: str = "native"
@@ -120,7 +126,9 @@ class DualARConfig:
     def slow_attn(self) -> "AttnDims":
         return AttnDims(self.dim, self.n_head, self.n_local_heads, self.head_dim,
                         self.attention_qkv_bias, self.attention_o_bias,
-                        self.attention_qk_norm, self.w8a8_matmuls)
+                        self.attention_qk_norm, self.w8a8_matmuls,
+                        self.pallas_attn_block_rows,
+                        self.pallas_attn_int8_scores)
 
     @property
     def fast_attn(self) -> "AttnDims":
@@ -193,6 +201,10 @@ class AttnDims:
     o_bias: bool
     qk_norm: bool
     w8a8: bool = False
+    # >0 routes the stacked-cache Pallas decode path through the
+    # block-of-rows kernel with this many batch rows per grid cell
+    pallas_block_rows: int = 0
+    pallas_int8_scores: bool = True
 
 
 def s2_pro_lm_config(max_seq_len: int = 4096) -> DualARConfig:

@@ -241,12 +241,22 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
         if isinstance(cache, StackedCacheView):
             # read the layer's filled chunks of the full stacked cache in
             # place — no per-layer slice copy, no unfilled-position traffic
-            from ..ops.attention import pallas_decode_attention_stacked_rows
-
             nf = new_cache.full
-            y = pallas_decode_attention_stacked_rows(
-                qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
-                lengths, starts)
+            if ad.pallas_block_rows > 0:
+                from ..ops.attention import pallas_decode_attention_blocks
+
+                y = pallas_decode_attention_blocks(
+                    qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
+                    lengths, starts, rows=ad.pallas_block_rows,
+                    int8_scores=ad.pallas_int8_scores)
+            else:
+                from ..ops.attention import (
+                    pallas_decode_attention_stacked_rows,
+                )
+
+                y = pallas_decode_attention_stacked_rows(
+                    qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
+                    lengths, starts)
         else:
             from ..ops.attention import pallas_decode_attention
 

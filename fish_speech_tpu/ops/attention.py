@@ -478,6 +478,196 @@ def pallas_decode_attention_stacked_rows(
     return out.reshape(b, hkv, g, d)
 
 
+def _decode_attn_blocks_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
+                               ks_hbm, vs_hbm, o_ref, *, scale, chunk,
+                               int8_cache, int8_scores, rows, hkv, g):
+    """Grid (B/rows,). One program handles a BLOCK of `rows` batch rows: each
+    chunk DMA moves a (rows, Hkv, chunk, D) block of this layer's stacked
+    cache (rows x larger, rows x fewer transfers than the grid-(B,) kernel,
+    whose ~3.5 us/cell issue overhead x B*L cells/step lost to the einsums),
+    and each row runs one block-diagonal MXU dot over all its query heads.
+    int8_scores additionally quantizes q per (row, head) so the score dot
+    runs on the int8 MXU with the k scales folded into the scores — the
+    probs@V dot stays bf16 (prob quantization would cost accuracy for ~no
+    bandwidth: V already moves as int8)."""
+    cell = pl.program_id(0)
+    b0 = cell * rows
+    li = layer_ref[0]
+    h_all = hkv * g
+
+    lens = [bounds_ref[b0 + i, 0] for i in range(rows)]
+    sts = [bounds_ref[b0 + i, 1] for i in range(rows)]
+    min_start = sts[0]
+    max_len = lens[0]
+    for i in range(1, rows):
+        min_start = jnp.minimum(min_start, sts[i])
+        max_len = jnp.maximum(max_len, lens[i])
+
+    def inner(sk, sv, sks, svs, sem):
+        d = q_ref.shape[-1]
+        qf = q_ref[:].astype(jnp.float32)                    # (rows, H, D)
+        if int8_scores and int8_cache:
+            qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+                             / 127.0, 1e-8)                  # (rows, H, 1)
+            qi = jnp.round(qf / qs).astype(jnp.int8)
+        c0 = min_start // chunk
+        c1 = pl.cdiv(max_len, chunk)
+
+        def dma(ci, slot):
+            sl = pl.ds(ci * chunk, chunk)
+            bs = pl.ds(b0, rows)
+            copies = [
+                pltpu.make_async_copy(k_hbm.at[li, bs, :, sl], sk.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[li, bs, :, sl], sv.at[slot],
+                                      sem.at[slot, 1]),
+            ]
+            if int8_cache:
+                copies += [
+                    pltpu.make_async_copy(ks_hbm.at[li, bs, :, sl],
+                                          sks.at[slot], sem.at[slot, 2]),
+                    pltpu.make_async_copy(vs_hbm.at[li, bs, :, sl],
+                                          svs.at[slot], sem.at[slot, 3]),
+                ]
+            return copies
+
+        for c in dma(c0, 0):
+            c.start()
+
+        # block-diagonal validity: query head r attends kv head r // g only
+        row_kvh = jax.lax.broadcasted_iota(jnp.int32, (h_all, hkv * chunk),
+                                           0) // g
+        col = jax.lax.broadcasted_iota(jnp.int32, (h_all, hkv * chunk), 1)
+        col_kvh = col // chunk
+        col_off = col % chunk
+
+        def body(ci, carry):
+            slot = (ci - c0) % 2
+            nxt = (ci - c0 + 1) % 2
+
+            @pl.when(ci + 1 < c1)
+            def _():
+                for c in dma(ci + 1, nxt):
+                    c.start()
+
+            for c in dma(ci, slot):
+                c.wait()
+
+            out = []
+            for i in range(rows):                            # static unroll
+                m, l, acc = carry[i]
+                k8 = sk[slot, i].reshape(hkv * chunk, d)
+                if int8_scores and int8_cache:
+                    s = jax.lax.dot_general(
+                        qi[i], k8, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * (qs[i] * scale)
+                else:
+                    kb = k8.astype(jnp.bfloat16) if int8_cache else k8
+                    s = jax.lax.dot_general(
+                        qf[i].astype(kb.dtype), kb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                if int8_cache:
+                    s = s * sks[slot, i].reshape(1, hkv * chunk)
+                pos = ci * chunk + col_off
+                valid = ((row_kvh == col_kvh) & (pos < lens[i])
+                         & (pos >= sts[i]))
+                s = jnp.where(valid, s, jnp.float32(-1e30))
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                corr = jnp.exp(m - m_new)
+                l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+                if int8_cache:
+                    p = p * svs[slot, i].reshape(1, hkv * chunk)
+                    vb = sv[slot, i].reshape(hkv * chunk, d).astype(
+                        jnp.bfloat16)
+                else:
+                    vb = sv[slot, i].reshape(hkv * chunk, d)
+                acc_new = acc * corr + jnp.dot(
+                    p.astype(vb.dtype), vb,
+                    preferred_element_type=jnp.float32)
+                out.append((m_new, l_new, acc_new))
+            return tuple(out)
+
+        init = tuple((jnp.full((h_all, 1), -1e30, jnp.float32),
+                      jnp.zeros((h_all, 1), jnp.float32),
+                      jnp.zeros((h_all, d), jnp.float32))
+                     for _ in range(rows))
+        final = jax.lax.fori_loop(c0, c1, body, init)
+        for i in range(rows):
+            _, l, acc = final[i]
+            o_ref[i] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+    d = q_ref.shape[-1]
+    pl.run_scoped(
+        inner,
+        sk=pltpu.VMEM((2, rows, hkv, chunk, d), k_hbm.dtype),
+        sv=pltpu.VMEM((2, rows, hkv, chunk, d), v_hbm.dtype),
+        sks=pltpu.VMEM((2, rows, hkv, chunk), jnp.float32),
+        svs=pltpu.VMEM((2, rows, hkv, chunk), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+@partial(jax.jit, static_argnames=("rows", "chunk", "int8_scores",
+                                   "interpret"))
+def pallas_decode_attention_blocks(
+        q: jax.Array, k_full: jax.Array, v_full: jax.Array,
+        ks_full: jax.Array | None, vs_full: jax.Array | None,
+        layer: jax.Array, lengths: jax.Array, starts: jax.Array,
+        rows: int = 16, chunk: int = 128, int8_scores: bool = True,
+        interpret: bool | None = None) -> jax.Array:
+    """Block-of-rows decode attention over ONE layer of the stacked cache
+    (v3 of the in-place stacked kernels; see `_decode_attn_blocks_kernel`).
+
+    q: (B, Hkv, G, D); k/v_full: (L, B, Hkv, S, D) bf16 or int8; ks/vs_full:
+    (L, B, Hkv, S) f32 scales or None; layer scalar int32; lengths/starts
+    (B,). Returns (B, Hkv, G, D) in q.dtype. Loop bounds per block are
+    [min(starts)//chunk, max(cdiv(lengths, chunk))) with exact per-row
+    masking, so heterogeneous fills (continuous batching) cost only the
+    block's max extent."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hkv, g, d = q.shape
+    s = k_full.shape[3]
+    if s % chunk != 0:
+        chunk = s
+    while b % rows != 0:
+        rows //= 2
+    rows = max(rows, 1)
+    scale = 1.0 / math.sqrt(d)
+    int8_cache = ks_full is not None
+    if ks_full is None:
+        ks_full = jnp.zeros((1, 1, 1, s), jnp.float32)
+        vs_full = ks_full
+    bounds = jnp.stack([lengths.astype(jnp.int32),
+                        starts.astype(jnp.int32)], axis=1)
+    qf = q.reshape(b, hkv * g, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, hkv * g, d), lambda bb, *_: (bb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((rows, hkv * g, d), lambda bb, *_: (bb, 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_decode_attn_blocks_kernel, scale=scale, chunk=chunk,
+                int8_cache=int8_cache, int8_scores=int8_scores, rows=rows,
+                hkv=hkv, g=g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv * g, d), q.dtype),
+        interpret=interpret,
+    )(bounds, jnp.asarray(layer, jnp.int32)[None], qf, k_full, v_full,
+      ks_full, vs_full)
+    return out.reshape(b, hkv, g, d)
+
+
 def xla_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                          lengths: jax.Array, starts: jax.Array) -> jax.Array:
     """Reference XLA path with identical semantics (used on CPU + in tests)."""

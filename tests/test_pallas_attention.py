@@ -49,6 +49,10 @@ def test_full_decode_with_pallas_attention_matches():
     base = run(cfg)
     pallas = run(dataclasses.replace(cfg, use_pallas_attention=True))
     np.testing.assert_array_equal(base, pallas)
+    blocks = run(dataclasses.replace(cfg, use_pallas_attention=True,
+                                     pallas_attn_block_rows=16,
+                                     pallas_attn_int8_scores=False))
+    np.testing.assert_array_equal(base, blocks)
 
 
 def test_stacked_kernel_matches_xla_bf16_and_int8():
@@ -162,3 +166,46 @@ def test_bucketed_prefix_attention_matches_full():
         return np.asarray(codes)
 
     np.testing.assert_array_equal(run(256), run(250))
+
+
+def test_blocks_kernel_matches_xla_bf16_and_int8():
+    """Block-of-rows stacked kernel (grid (B/rows,), shared chunk DMA per
+    block, per-row block-diagonal dots; int8_scores quantizes q in-kernel)."""
+    from fish_speech_tpu.ops.attention import pallas_decode_attention_blocks
+
+    rng = np.random.default_rng(9)
+    L, b, hkv, g, d, s = 3, 4, 8, 4, 32, 256
+    layer = 1
+    q = jnp.asarray(rng.standard_normal((b, hkv, g, d)), jnp.bfloat16)
+    lengths = jnp.asarray([100, 256, 37, 130], jnp.int32)
+    starts = jnp.asarray([0, 30, 5, 0], jnp.int32)
+
+    kf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    vf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    out = pallas_decode_attention_blocks(
+        q, kf, vf, None, None, jnp.int32(layer), lengths, starts,
+        rows=2, chunk=64)
+    ref = xla_decode_attention(q, kf[layer], vf[layer], lengths, starts)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    kd = k8[layer].astype(jnp.bfloat16) * ks[layer][..., None].astype(jnp.bfloat16)
+    vd = v8[layer].astype(jnp.bfloat16) * vs[layer][..., None].astype(jnp.bfloat16)
+    ref8 = xla_decode_attention(q, kd, vd, lengths, starts)
+
+    out8 = pallas_decode_attention_blocks(
+        q, k8, v8, ks, vs, jnp.int32(layer), lengths, starts,
+        rows=2, chunk=64, int8_scores=False)
+    np.testing.assert_allclose(np.asarray(out8, np.float32),
+                               np.asarray(ref8, np.float32), atol=2e-2)
+
+    # int8 MXU scores: q quantized per (row, head) -> looser tolerance
+    outq = pallas_decode_attention_blocks(
+        q, k8, v8, ks, vs, jnp.int32(layer), lengths, starts,
+        rows=2, chunk=64, int8_scores=True)
+    np.testing.assert_allclose(np.asarray(outq, np.float32),
+                               np.asarray(ref8, np.float32), atol=6e-2)
