@@ -43,11 +43,13 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         # default = best verified serving config: int8 weights + W8A8 MXU
-        # dots, int8 KV cache (slow + fast stacks), carry-mode layer stack,
-        # batch 256, cache 384 -> ~245 audio-s/s/chip on v5e. BENCH_QUANT=0 /
-        # BENCH_W8A8=0 / BENCH_KV=bf16 / BENCH_BATCH / BENCH_CACHE /
-        # BENCH_STACK / BENCH_FAST_UNROLL / BENCH_FAST_SCAN_UNROLL override;
-        # see README for the measured matrix.
+        # dots, int8 KV cache, carry-mode layer stack, block-of-rows Pallas
+        # decode attention (bf16 scores), fused fast-head sweeps, batch 256,
+        # cache 384 -> ~328 audio-s/s/chip on v5e. BENCH_QUANT=0 /
+        # BENCH_W8A8=0 / BENCH_KV=bf16 / BENCH_PALLAS / BENCH_FUSED_FAST=0 /
+        # BENCH_BATCH / BENCH_CACHE / BENCH_STACK / BENCH_FAST_UNROLL /
+        # BENCH_FAST_SCAN_UNROLL override; see README for the measured
+        # matrix.
         cfg = s2_pro_lm_config(max_seq_len=2048)
         batch = int(os.environ.get("BENCH_BATCH", "256"))
         cache_len = int(os.environ.get("BENCH_CACHE", "384"))
@@ -66,6 +68,11 @@ def main():
 
         params = jax.jit(quantize_lm_params)(params)
         print("# int8 weight-only quantized", file=sys.stderr)
+        if os.environ.get("BENCH_FUSED_FAST", "1" if on_tpu else "0") == "1":
+            from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head
+
+            params = enable_fused_fast_head(params)
+            print("# fused fast-head sweeps", file=sys.stderr)
     kv_default = "int8" if on_tpu else "bf16"
     kv_dtype = jnp.bfloat16
     if os.environ.get("BENCH_KV", kv_default) == "int8":
@@ -89,19 +96,18 @@ def main():
         decode_stack_mode=os.environ.get("BENCH_STACK", ""),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         fast_scan_unroll=int(os.environ.get("BENCH_FAST_SCAN_UNROLL", "1")),
-        # BENCH_PALLAS: 0 = einsums, 1/rows = per-row stacked kernel,
-        # blocks[N] = block-of-rows kernel with N rows/cell (default 16);
-        # append "-bf16" to keep the score dot off the int8 MXU
-        use_pallas_attention=(pallas_mode := os.environ.get(
-            "BENCH_PALLAS", "0")) not in ("0", ""),
-        pallas_attn_block_rows=(
-            int(pallas_mode.removeprefix("blocks").split("-")[0] or 16)
-            if pallas_mode.startswith("blocks") else 0),
-        pallas_attn_int8_scores=not pallas_mode.endswith("-bf16"),
         w8a8_matmuls=os.environ.get("BENCH_W8A8",
                                     "1" if on_tpu else "0") == "1",
         unroll_fast_sweeps=os.environ.get("BENCH_FAST_UNROLL", "0") == "1",
         kv_cache_dtype="int8" if kv_dtype == jnp.int8 else "native")
+    # BENCH_PALLAS: 0 = einsums, 1/rows = per-row stacked kernel,
+    # blocks[N][-bf16] = block-of-rows kernel (N rows/cell, default 16;
+    # -bf16 keeps the score dot off the int8 MXU)
+    from fish_speech_tpu.models.config import apply_pallas_attn_mode
+    cfg = apply_pallas_attn_mode(
+        cfg, os.environ.get("BENCH_PALLAS",
+                            "blocks-bf16" if on_tpu else "0"),
+        chunk=int(os.environ.get("BENCH_PALLAS_CHUNK", "128")))
     if cfg.w8a8_matmuls:
         print("# w8a8 int8 MXU matmuls", file=sys.stderr)
 

@@ -83,6 +83,8 @@ class DualARConfig:
     # block-of-rows kernel: run the score dot on the int8 MXU (q quantized
     # per row/head in-kernel; needs int8 KV cache)
     pallas_attn_int8_scores: bool = True
+    # cache-seq positions per DMA chunk in the block-of-rows kernel
+    pallas_attn_chunk: int = 128
     # "native" (params dtype) or "int8": quantized KV cache halves the cache
     # bandwidth that dominates decode at large batch*seq
     kv_cache_dtype: str = "native"
@@ -128,7 +130,8 @@ class DualARConfig:
                         self.attention_qkv_bias, self.attention_o_bias,
                         self.attention_qk_norm, self.w8a8_matmuls,
                         self.pallas_attn_block_rows,
-                        self.pallas_attn_int8_scores)
+                        self.pallas_attn_int8_scores,
+                        self.pallas_attn_chunk)
 
     @property
     def fast_attn(self) -> "AttnDims":
@@ -205,6 +208,25 @@ class AttnDims:
     # block-of-rows kernel with this many batch rows per grid cell
     pallas_block_rows: int = 0
     pallas_int8_scores: bool = True
+    pallas_chunk: int = 128
+
+
+def apply_pallas_attn_mode(cfg: DualARConfig, mode: str,
+                           chunk: int = 128) -> DualARConfig:
+    """Apply a decode-attention mode string ("0" | "rows" | "blocks[N][-bf16]")
+    to a config — shared by bench.py, tools/profile_decode.py and the serving
+    CLIs so one spelling selects the same kernels everywhere."""
+    import dataclasses
+
+    if mode in ("0", ""):
+        return dataclasses.replace(cfg, use_pallas_attention=False)
+    rows = 0
+    if mode.startswith("blocks"):
+        rows = int(mode.removeprefix("blocks").split("-")[0] or 16)
+    return dataclasses.replace(
+        cfg, use_pallas_attention=True, pallas_attn_block_rows=rows,
+        pallas_attn_int8_scores=not mode.endswith("-bf16"),
+        pallas_attn_chunk=chunk)
 
 
 def s2_pro_lm_config(max_seq_len: int = 4096) -> DualARConfig:

@@ -140,16 +140,24 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
     # int8 KV mode covers the fast cache too: its K sweeps re-read the whole
     # (L_f, B, H, K, D) cache every step (~2.6 GB/step at B=256), so halving
     # it is a direct bandwidth win on the same dequant-free attention path.
-    fast_kv_dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
-                     else out.hidden.dtype)
-    fast_cache = KVCache.create(cfg.n_fast_layer, b, cfg.num_codebooks,
-                                cfg.fast_n_local_heads, cfg.fast_head_dim,
-                                dtype=fast_kv_dtype)
+    fused_fast = "fast_packed" in params
+    if fused_fast:
+        from ..ops.fast_fused import FusedFastCache
+
+        fast_cache = FusedFastCache.create(cfg.n_fast_layer,
+                                           cfg.num_codebooks, b, cfg.fast_dim)
+    else:
+        fast_kv_dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
+                         else out.hidden.dtype)
+        fast_cache = KVCache.create(cfg.n_fast_layer, b, cfg.num_codebooks,
+                                    cfg.fast_n_local_heads, cfg.fast_head_dim,
+                                    dtype=fast_kv_dtype)
     # prime position 0: only the cache write matters (codebook 0 IS the
     # semantic token sampled above), so skip its fast_output projection
+    unrolled_sweeps = cfg.unroll_fast_sweeps or fused_fast
     _, fast_cache = forward_generate_fast(
         params, cfg, hidden, fast_cache,
-        0 if cfg.unroll_fast_sweeps else jnp.int32(0), fast_freqs_table,
+        0 if unrolled_sweeps else jnp.int32(0), fast_freqs_table,
         want_logits=False)
     code0 = jnp.clip(token - cfg.semantic_begin_id, 0, cfg.codebook_size - 1)
 
@@ -165,7 +173,7 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
                              sampling.temperature, sampling.top_p, top_k, greedy)
         return (code, fcache, fkey), code
 
-    if cfg.unroll_fast_sweeps:
+    if unrolled_sweeps:
         # python-unrolled sweeps: static codebook positions fold the RoPE
         # slice and causal mask to constants, and attention reads only the
         # filled [0, idx] prefix of the fast cache (the scan form re-reads

@@ -248,6 +248,7 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
                 y = pallas_decode_attention_blocks(
                     qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
                     lengths, starts, rows=ad.pallas_block_rows,
+                    chunk=ad.pallas_chunk,
                     int8_scores=ad.pallas_int8_scores)
             else:
                 from ..ops.attention import (
@@ -556,6 +557,21 @@ def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
     input_pos may be a PYTHON int (unrolled sweeps): the RoPE row and causal
     mask become compile-time constants. want_logits=False skips the
     fast_output projection (the priming sweep only needs its cache write)."""
+    if "fast_packed" in params:
+        # fused Pallas sweep (ops/fast_fused.py): whole stack in one kernel,
+        # W8A8 dots, int8 position-major cache. Static positions only.
+        from ..ops.fast_fused import fused_fast_sweep
+
+        assert isinstance(input_pos, int), (
+            "fused fast head needs unroll_fast_sweeps (static positions)")
+        x, fast_cache = fused_fast_sweep(
+            params["fast_packed"], x, fast_cache, fast_freqs_table,
+            pos=input_pos, n_head=cfg.fast_n_head, eps=cfg.norm_eps)
+        if not want_logits:
+            return None, fast_cache
+        x = rms_norm(x, params["fast_norm"], cfg.norm_eps)
+        return matmul_t(x, params["fast_output"], w8a8=True), fast_cache
+
     x = x[:, None, :]  # (B, 1, D)
     if isinstance(input_pos, int):
         freqs_cis = fast_freqs_table[input_pos:input_pos + 1]

@@ -70,6 +70,18 @@ def build_engine(args):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, w8a8_matmuls=True)
+    if getattr(args, "pallas_attn", "0") not in ("0", ""):
+        from fish_speech_tpu.models.config import apply_pallas_attn_mode
+
+        cfg = apply_pallas_attn_mode(cfg, args.pallas_attn)
+    if getattr(args, "fused_fast", False):
+        from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head
+        from fish_speech_tpu.ops.quant import is_quantized
+
+        if not is_quantized(params["fast_layers"]["attention"]["wqkv"]):
+            raise SystemExit("--fused-fast needs an int8-quantized "
+                             "checkpoint (tools/quantize.py)")
+        params = enable_fused_fast_head(params)
 
     if args.codec_checkpoint:
         from fish_speech_tpu.codec import convert_dac_state_dict, s2_pro_codec_config
@@ -114,6 +126,12 @@ def main():
                         help="int8 activation x int8 weight MXU matmuls for "
                              "quantized checkpoints (2x MXU rate; small "
                              "accuracy trade vs weight-only dequant)")
+    parser.add_argument("--pallas-attn", default="0",
+                        help="decode attention kernel: 0 (einsums), rows, or "
+                             "blocks[N][-bf16] (block-of-rows Pallas kernel)")
+    parser.add_argument("--fused-fast", action="store_true",
+                        help="fused fast-head sweep kernel (one Pallas call "
+                             "per codebook; needs an int8 checkpoint)")
     args = parser.parse_args()
 
     from aiohttp import web

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--kv-int8", action="store_true", help="int8 KV cache")
     ap.add_argument("--w8a8", action="store_true",
                     help="int8 activation x weight MXU matmuls")
+    ap.add_argument("--pallas-attn", default="0",
+                    help="decode attention: 0 | rows | blocks[N][-bf16]")
+    ap.add_argument("--fused-fast", action="store_true",
+                    help="fused fast-head sweep kernel (needs --quant)")
     ap.add_argument("--chunk-frames", type=int, default=8,
                     help="acoustic frames per emitted audio chunk")
     ap.add_argument("--scheduler-chunk", type=int, default=1,
@@ -93,12 +97,21 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, w8a8_matmuls=True)
+    if args.pallas_attn not in ("0", ""):
+        from fish_speech_tpu.models.config import apply_pallas_attn_mode
+
+        cfg = apply_pallas_attn_mode(cfg, args.pallas_attn)
     params = init_dual_ar_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     if args.quant:
         from fish_speech_tpu.ops.quant import quantize_lm_params
 
         params = jax.jit(quantize_lm_params)(params)
         print("# int8 weight-only", file=sys.stderr)
+        if args.fused_fast:
+            from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head
+
+            params = enable_fused_fast_head(params)
+            print("# fused fast head", file=sys.stderr)
     codec_params = init_dac_params(jax.random.key(1), codec_cfg)
 
     engine = TTSEngine(params, cfg, tokenizer, codec_params=codec_params,

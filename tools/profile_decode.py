@@ -59,7 +59,14 @@ def run_workload(args):
     bias = semantic_logit_bias(cfg.vocab_size, sem_begin, sem_end, 5)
     cfg = dataclasses.replace(
         cfg, semantic_begin_id=sem_begin, semantic_end_id=sem_end,
-        kv_cache_dtype="int8" if args.kv_int8 else "native")
+        kv_cache_dtype="int8" if args.kv_int8 else "native",
+        w8a8_matmuls=args.w8a8)
+    from fish_speech_tpu.models.config import apply_pallas_attn_mode
+    cfg = apply_pallas_attn_mode(cfg, args.pallas, chunk=args.pallas_chunk)
+    if args.fused_fast:
+        from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head
+
+        params = enable_fused_fast_head(params)
     sampling = SamplingConfig.create()
     prev_win = jnp.zeros((args.batch, RAS_WIN_SIZE), jnp.int32)
 
@@ -138,6 +145,13 @@ def main():
     ap.add_argument("--quant", action="store_true", default=True)
     ap.add_argument("--no-quant", dest="quant", action="store_false")
     ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--w8a8", action="store_true", default=True)
+    ap.add_argument("--no-w8a8", dest="w8a8", action="store_false")
+    ap.add_argument("--pallas", default="0",
+                    help="0 | rows | blocks[N][-bf16] (same as BENCH_PALLAS)")
+    ap.add_argument("--pallas-chunk", type=int, default=128)
+    ap.add_argument("--fused-fast", action="store_true",
+                    help="fused fast-head sweep kernel (needs --quant)")
     ap.add_argument("--logdir", default="/tmp/jaxtrace")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args()

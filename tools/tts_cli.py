@@ -39,6 +39,10 @@ def main():
     p.add_argument("--w8a8", action="store_true",
                    help="int8 activation x weight MXU matmuls (quantized "
                         "checkpoints)")
+    p.add_argument("--pallas-attn", default="0",
+                   help="decode attention: 0 | rows | blocks[N][-bf16]")
+    p.add_argument("--fused-fast", action="store_true",
+                   help="fused fast-head sweep kernel (int8 checkpoints)")
     args = p.parse_args()
 
     from api_server import build_engine
@@ -50,6 +54,8 @@ def main():
         cache_len = 4096 if args.checkpoint_path else 2048
         kv_cache = args.kv_cache
         w8a8 = args.w8a8
+        pallas_attn = args.pallas_attn
+        fused_fast = args.fused_fast
 
     engine = build_engine(EngineArgs)
 
