@@ -43,9 +43,9 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         # default = best verified serving config: int8 weights + W8A8 MXU
-        # dots, int8 KV cache, carry-mode layer stack, block-of-rows Pallas
-        # decode attention (bf16 scores), fused fast-head sweeps, batch 256,
-        # cache 384 -> ~328 audio-s/s/chip on v5e. BENCH_QUANT=0 /
+        # dots, int8 KV cache, carry-mode layer stack, streaming Pallas
+        # decode attention, fused fast-head sweeps, batch 256,
+        # cache 384 -> ~340 audio-s/s/chip on v5e. BENCH_QUANT=0 /
         # BENCH_W8A8=0 / BENCH_KV=bf16 / BENCH_PALLAS / BENCH_FUSED_FAST=0 /
         # BENCH_BATCH / BENCH_CACHE / BENCH_STACK / BENCH_FAST_UNROLL /
         # BENCH_FAST_SCAN_UNROLL override; see README for the measured
@@ -102,11 +102,12 @@ def main():
         kv_cache_dtype="int8" if kv_dtype == jnp.int8 else "native")
     # BENCH_PALLAS: 0 = einsums, 1/rows = per-row stacked kernel,
     # blocks[N][-bf16] = block-of-rows kernel (N rows/cell, default 16;
-    # -bf16 keeps the score dot off the int8 MXU)
+    # -bf16 keeps the score dot off the int8 MXU), stream[N] = single-grid-
+    # step streaming variant (cross-block DMA pipelining)
     from fish_speech_tpu.models.config import apply_pallas_attn_mode
     cfg = apply_pallas_attn_mode(
         cfg, os.environ.get("BENCH_PALLAS",
-                            "blocks-bf16" if on_tpu else "0"),
+                            "stream" if on_tpu else "0"),
         chunk=int(os.environ.get("BENCH_PALLAS_CHUNK", "128")))
     if cfg.w8a8_matmuls:
         print("# w8a8 int8 MXU matmuls", file=sys.stderr)

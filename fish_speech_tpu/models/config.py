@@ -85,6 +85,8 @@ class DualARConfig:
     pallas_attn_int8_scores: bool = True
     # cache-seq positions per DMA chunk in the block-of-rows kernel
     pallas_attn_chunk: int = 128
+    # single-grid-step streaming variant of the block-of-rows kernel
+    pallas_attn_stream: bool = False
     # "native" (params dtype) or "int8": quantized KV cache halves the cache
     # bandwidth that dominates decode at large batch*seq
     kv_cache_dtype: str = "native"
@@ -131,7 +133,8 @@ class DualARConfig:
                         self.attention_qk_norm, self.w8a8_matmuls,
                         self.pallas_attn_block_rows,
                         self.pallas_attn_int8_scores,
-                        self.pallas_attn_chunk)
+                        self.pallas_attn_chunk,
+                        self.pallas_attn_stream)
 
     @property
     def fast_attn(self) -> "AttnDims":
@@ -209,24 +212,31 @@ class AttnDims:
     pallas_block_rows: int = 0
     pallas_int8_scores: bool = True
     pallas_chunk: int = 128
+    # route block-of-rows attention through the single-grid-step streaming
+    # kernel (cross-block DMA pipelining)
+    pallas_stream: bool = False
 
 
 def apply_pallas_attn_mode(cfg: DualARConfig, mode: str,
                            chunk: int = 128) -> DualARConfig:
-    """Apply a decode-attention mode string ("0" | "rows" | "blocks[N][-bf16]")
-    to a config — shared by bench.py, tools/profile_decode.py and the serving
-    CLIs so one spelling selects the same kernels everywhere."""
+    """Apply a decode-attention mode string ("0" | "rows" |
+    "blocks[N][-bf16]" | "stream[N]") to a config — shared by bench.py,
+    tools/profile_decode.py and the serving CLIs so one spelling selects the
+    same kernels everywhere."""
     import dataclasses
 
     if mode in ("0", ""):
         return dataclasses.replace(cfg, use_pallas_attention=False)
-    rows = 0
+    rows, stream = 0, False
     if mode.startswith("blocks"):
         rows = int(mode.removeprefix("blocks").split("-")[0] or 16)
+    elif mode.startswith("stream"):
+        rows = int(mode.removeprefix("stream").split("-")[0] or 16)
+        stream = True
     return dataclasses.replace(
         cfg, use_pallas_attention=True, pallas_attn_block_rows=rows,
         pallas_attn_int8_scores=not mode.endswith("-bf16"),
-        pallas_attn_chunk=chunk)
+        pallas_attn_chunk=chunk, pallas_attn_stream=stream)
 
 
 def s2_pro_lm_config(max_seq_len: int = 4096) -> DualARConfig:

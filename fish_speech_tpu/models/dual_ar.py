@@ -156,6 +156,11 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
         vt = vt.astype(store.v.dtype)
         if jnp.ndim(input_pos) == 0:
             # all rows write the same slot range (single-utterance / prefill)
+            # NOTE an (S*D)-merged flat view for this write was tried and
+            # MEASURED CATASTROPHIC (27.5 -> 0.6 steps/s at 4B B=256): the
+            # 5D<->4D reshape changes the int8 (8,128)(4,1) tiled layout, so
+            # XLA materializes a relayout copy of the whole 3.6 GB cache
+            # every layer. Keep the native-form dynamic_update_slice.
             if stacked:
                 ck = jax.lax.dynamic_update_slice(
                     store.k, kt[None], (li, 0, 0, input_pos, 0))
@@ -242,7 +247,14 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             # read the layer's filled chunks of the full stacked cache in
             # place — no per-layer slice copy, no unfilled-position traffic
             nf = new_cache.full
-            if ad.pallas_block_rows > 0:
+            if ad.pallas_block_rows > 0 and ad.pallas_stream:
+                from ..ops.attention import pallas_decode_attention_stream
+
+                y = pallas_decode_attention_stream(
+                    qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
+                    lengths, starts, rows=ad.pallas_block_rows,
+                    chunk=ad.pallas_chunk)
+            elif ad.pallas_block_rows > 0:
                 from ..ops.attention import pallas_decode_attention_blocks
 
                 y = pallas_decode_attention_blocks(

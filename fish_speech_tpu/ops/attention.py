@@ -668,6 +668,185 @@ def pallas_decode_attention_blocks(
     return out.reshape(b, hkv, g, d)
 
 
+def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
+                               ks_hbm, vs_hbm, o_ref, sk, sv, sks, svs, sem,
+                               *, scale, chunk, int8_cache, rows, hkv, g,
+                               ncells):
+    """Single grid step streaming ALL row-blocks: a flat (cell, chunk)
+    cursor walks the filled chunks of every block in one lax.while_loop with
+    the next DMA always in flight — unlike the grid-(B/rows,) blocks kernel,
+    the first chunk of each block is prefetched during the previous block's
+    tail, so no per-cell DMA latency is ever exposed."""
+    li = layer_ref[0]
+    h_all = hkv * g
+    d = q_ref.shape[-1]
+
+    def row_bounds(b):
+        return bounds_ref[b, 0], bounds_ref[b, 1]
+
+    def cell_c0(cell):
+        cb = jnp.minimum(cell, ncells - 1) * rows
+        ms = row_bounds(cb)[1]
+        for i in range(1, rows):
+            ms = jnp.minimum(ms, row_bounds(cb + i)[1])
+        return ms // chunk
+
+    def cell_c1(cell):
+        cb = jnp.minimum(cell, ncells - 1) * rows
+        ml = row_bounds(cb)[0]
+        for i in range(1, rows):
+            ml = jnp.maximum(ml, row_bounds(cb + i)[0])
+        return pl.cdiv(ml, chunk)
+
+    def dma(cell, ci, slot):
+        bs = pl.ds(cell * rows, rows)
+        sl = pl.ds(ci * chunk, chunk)
+        copies = [
+            pltpu.make_async_copy(k_hbm.at[li, bs, :, sl], sk.at[slot],
+                                  sem.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[li, bs, :, sl], sv.at[slot],
+                                  sem.at[slot, 1]),
+        ]
+        if int8_cache:
+            copies += [
+                pltpu.make_async_copy(ks_hbm.at[li, bs, :, sl], sks.at[slot],
+                                      sem.at[slot, 2]),
+                pltpu.make_async_copy(vs_hbm.at[li, bs, :, sl], svs.at[slot],
+                                      sem.at[slot, 3]),
+            ]
+        return copies
+
+    row_kvh = jax.lax.broadcasted_iota(jnp.int32, (h_all, hkv * chunk),
+                                       0) // g
+    col = jax.lax.broadcasted_iota(jnp.int32, (h_all, hkv * chunk), 1)
+    col_kvh = col // chunk
+    col_off = col % chunk
+
+    def init_carry():
+        return tuple((jnp.full((h_all, 1), -1e30, jnp.float32),
+                      jnp.zeros((h_all, 1), jnp.float32),
+                      jnp.zeros((h_all, d), jnp.float32))
+                     for _ in range(rows))
+
+    def body(state):
+        cell, ci, slot, carry = state
+        c1 = cell_c1(cell)
+        last = ci + 1 >= c1
+        nxt_cell = jnp.where(last, cell + 1, cell)
+        nxt_ci = jnp.where(last, cell_c0(cell + 1), ci + 1)
+
+        @pl.when(nxt_cell < ncells)
+        def _():
+            for c in dma(nxt_cell, nxt_ci, 1 - slot):
+                c.start()
+
+        for c in dma(cell, ci, slot):
+            c.wait()
+
+        out = []
+        for i in range(rows):
+            m, l, acc = carry[i]
+            length, start = row_bounds(cell * rows + i)
+            k8 = sk[slot, i].reshape(hkv * chunk, d)
+            kb = k8.astype(jnp.bfloat16) if int8_cache else k8
+            qi = q_ref[cell * rows + i].astype(kb.dtype)
+            s = jax.lax.dot_general(qi, kb, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+            if int8_cache:
+                s = s * sks[slot, i].reshape(1, hkv * chunk)
+            pos = ci * chunk + col_off
+            valid = ((row_kvh == col_kvh) & (pos < length) & (pos >= start))
+            s = jnp.where(valid, s, jnp.float32(-1e30))
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            if int8_cache:
+                p = p * svs[slot, i].reshape(1, hkv * chunk)
+                vb = sv[slot, i].reshape(hkv * chunk, d).astype(jnp.bfloat16)
+            else:
+                vb = sv[slot, i].reshape(hkv * chunk, d)
+            acc_new = acc * corr + jnp.dot(p.astype(vb.dtype), vb,
+                                           preferred_element_type=jnp.float32)
+
+            @pl.when(last)
+            def _(i=i, l_new=l_new, acc_new=acc_new):
+                o_ref[cell * rows + i] = (
+                    acc_new / jnp.maximum(l_new, 1e-20)).astype(o_ref.dtype)
+
+            init = init_carry()[i]
+            out.append(tuple(jnp.where(last, z, u) for z, u in
+                             zip(init, (m_new, l_new, acc_new))))
+        return nxt_cell, nxt_ci, 1 - slot, tuple(out)
+
+    first_ci = cell_c0(0)
+    for c in dma(0, first_ci, 0):
+        c.start()
+    jax.lax.while_loop(lambda s: s[0] < ncells, body,
+                       (jnp.int32(0), first_ci, jnp.int32(0), init_carry()))
+
+
+@partial(jax.jit, static_argnames=("rows", "chunk", "interpret"))
+def pallas_decode_attention_stream(
+        q: jax.Array, k_full: jax.Array, v_full: jax.Array,
+        ks_full: jax.Array | None, vs_full: jax.Array | None,
+        layer: jax.Array, lengths: jax.Array, starts: jax.Array,
+        rows: int = 16, chunk: int = 128,
+        interpret: bool | None = None) -> jax.Array:
+    """Streaming decode attention over one layer of the stacked cache: like
+    `pallas_decode_attention_blocks` but all B/rows blocks run in ONE grid
+    step with cross-block DMA pipelining (see the kernel docstring).
+    q: (B, Hkv, G, D) -> (B, Hkv, G, D)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hkv, g, d = q.shape
+    s = k_full.shape[3]
+    if s % chunk != 0:
+        chunk = s
+    while b % rows != 0:
+        rows //= 2
+    rows = max(rows, 1)
+    scale = 1.0 / math.sqrt(d)
+    int8_cache = ks_full is not None
+    if ks_full is None:
+        ks_full = jnp.zeros((1, 1, 1, s), jnp.float32)
+        vs_full = ks_full
+    bounds = jnp.stack([lengths.astype(jnp.int32),
+                        starts.astype(jnp.int32)], axis=1)
+    qf = q.reshape(b, hkv * g, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, hkv, chunk, d), k_full.dtype),
+            pltpu.VMEM((2, rows, hkv, chunk, d), v_full.dtype),
+            pltpu.VMEM((2, rows, hkv, chunk), jnp.float32),
+            pltpu.VMEM((2, rows, hkv, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_decode_attn_stream_kernel, scale=scale, chunk=chunk,
+                int8_cache=int8_cache, rows=rows, hkv=hkv, g=g,
+                ncells=b // rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv * g, d), q.dtype),
+        interpret=interpret,
+    )(bounds, jnp.asarray(layer, jnp.int32)[None], qf, k_full, v_full,
+      ks_full, vs_full)
+    return out.reshape(b, hkv, g, d)
+
+
 def xla_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                          lengths: jax.Array, starts: jax.Array) -> jax.Array:
     """Reference XLA path with identical semantics (used on CPU + in tests)."""

@@ -209,3 +209,38 @@ def test_blocks_kernel_matches_xla_bf16_and_int8():
         rows=2, chunk=64, int8_scores=True)
     np.testing.assert_allclose(np.asarray(outq, np.float32),
                                np.asarray(ref8, np.float32), atol=6e-2)
+
+
+def test_stream_kernel_matches_xla_bf16_and_int8():
+    """Streaming kernel: one grid step, flat (cell, chunk) cursor with
+    cross-block DMA pipelining; must match the einsum path."""
+    from fish_speech_tpu.ops.attention import pallas_decode_attention_stream
+
+    rng = np.random.default_rng(11)
+    L, b, hkv, g, d, s = 3, 8, 8, 4, 32, 256
+    layer = 1
+    q = jnp.asarray(rng.standard_normal((b, hkv, g, d)), jnp.bfloat16)
+    lengths = jnp.asarray([100, 256, 37, 130, 64, 200, 5, 256], jnp.int32)
+    starts = jnp.asarray([0, 30, 5, 0, 0, 64, 0, 128], jnp.int32)
+
+    kf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    vf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    out = pallas_decode_attention_stream(
+        q, kf, vf, None, None, jnp.int32(layer), lengths, starts,
+        rows=2, chunk=64)
+    ref = xla_decode_attention(q, kf[layer], vf[layer], lengths, starts)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    out8 = pallas_decode_attention_stream(
+        q, k8, v8, ks, vs, jnp.int32(layer), lengths, starts,
+        rows=2, chunk=64)
+    kd = k8[layer].astype(jnp.bfloat16) * ks[layer][..., None].astype(jnp.bfloat16)
+    vd = v8[layer].astype(jnp.bfloat16) * vs[layer][..., None].astype(jnp.bfloat16)
+    ref8 = xla_decode_attention(q, kd, vd, lengths, starts)
+    np.testing.assert_allclose(np.asarray(out8, np.float32),
+                               np.asarray(ref8, np.float32), atol=2e-2)

@@ -128,7 +128,7 @@ def main():
                              "accuracy trade vs weight-only dequant)")
     parser.add_argument("--pallas-attn", default="0",
                         help="decode attention kernel: 0 (einsums), rows, or "
-                             "blocks[N][-bf16] (block-of-rows Pallas kernel)")
+                             "blocks[N][-bf16] | stream[N] (Pallas kernels)")
     parser.add_argument("--fused-fast", action="store_true",
                         help="fused fast-head sweep kernel (one Pallas call "
                              "per codebook; needs an int8 checkpoint)")

@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--w8a8", action="store_true",
                     help="int8 activation x weight MXU matmuls")
     ap.add_argument("--pallas-attn", default="0",
-                    help="decode attention: 0 | rows | blocks[N][-bf16]")
+                    help="decode attention: 0 | rows | blocks[N][-bf16] | stream[N]")
     ap.add_argument("--fused-fast", action="store_true",
                     help="fused fast-head sweep kernel (needs --quant)")
     ap.add_argument("--chunk-frames", type=int, default=8,

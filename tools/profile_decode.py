@@ -148,7 +148,7 @@ def main():
     ap.add_argument("--w8a8", action="store_true", default=True)
     ap.add_argument("--no-w8a8", dest="w8a8", action="store_false")
     ap.add_argument("--pallas", default="0",
-                    help="0 | rows | blocks[N][-bf16] (same as BENCH_PALLAS)")
+                    help="0 | rows | blocks[N][-bf16] | stream[N] (same as BENCH_PALLAS)")
     ap.add_argument("--pallas-chunk", type=int, default=128)
     ap.add_argument("--fused-fast", action="store_true",
                     help="fused fast-head sweep kernel (needs --quant)")

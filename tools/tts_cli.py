@@ -40,7 +40,7 @@ def main():
                    help="int8 activation x weight MXU matmuls (quantized "
                         "checkpoints)")
     p.add_argument("--pallas-attn", default="0",
-                   help="decode attention: 0 | rows | blocks[N][-bf16]")
+                   help="decode attention: 0 | rows | blocks[N][-bf16] | stream[N]")
     p.add_argument("--fused-fast", action="store_true",
                    help="fused fast-head sweep kernel (int8 checkpoints)")
     args = p.parse_args()
