@@ -43,10 +43,11 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         # default = best verified serving config: int8 weights + W8A8 MXU
-        # dots, int8 KV cache, carry-mode layer stack, streaming Pallas
-        # decode attention, fused fast-head sweeps, batch 256,
-        # cache 384 -> ~340 audio-s/s/chip on v5e. BENCH_QUANT=0 /
-        # BENCH_W8A8=0 / BENCH_KV=bf16 / BENCH_PALLAS / BENCH_FUSED_FAST=0 /
+        # dots, position-major int8 KV cache, carry-mode layer stack,
+        # streaming Pallas decode attention (int8 MXU scores), fused
+        # fast-head sweeps, batch 256, cache 384 -> ~382 audio-s/s/chip on
+        # v5e. BENCH_QUANT=0 / BENCH_W8A8=0 / BENCH_KV=bf16 /
+        # BENCH_KV_LAYOUT=head / BENCH_PALLAS / BENCH_FUSED_FAST=0 /
         # BENCH_BATCH / BENCH_CACHE / BENCH_STACK / BENCH_FAST_UNROLL /
         # BENCH_FAST_SCAN_UNROLL override; see README for the measured
         # matrix.
@@ -78,8 +79,13 @@ def main():
     if os.environ.get("BENCH_KV", kv_default) == "int8":
         kv_dtype = jnp.int8
         print("# int8 KV cache", file=sys.stderr)
+    kv_layout = os.environ.get("BENCH_KV_LAYOUT",
+                               "pos" if on_tpu else "head")
+    if kv_layout == "pos":
+        print("# position-major KV cache", file=sys.stderr)
     cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,
-                           cfg.head_dim, dtype=kv_dtype)
+                           cfg.head_dim, dtype=kv_dtype,
+                           pos_major=kv_layout == "pos")
     freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
     fast_freqs = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
                                       cfg.rope_base)
@@ -99,7 +105,8 @@ def main():
         w8a8_matmuls=os.environ.get("BENCH_W8A8",
                                     "1" if on_tpu else "0") == "1",
         unroll_fast_sweeps=os.environ.get("BENCH_FAST_UNROLL", "0") == "1",
-        kv_cache_dtype="int8" if kv_dtype == jnp.int8 else "native")
+        kv_cache_dtype="int8" if kv_dtype == jnp.int8 else "native",
+        kv_cache_layout=kv_layout)
     # BENCH_PALLAS: 0 = einsums, 1/rows = per-row stacked kernel,
     # blocks[N][-bf16] = block-of-rows kernel (N rows/cell, default 16;
     # -bf16 keeps the score dot off the int8 MXU), stream[N] = single-grid-

@@ -71,7 +71,8 @@ class ContinuousBatcher:
         dtype = (_jnp.int8 if cfg.kv_cache_dtype == "int8"
                  else param_dtype(params))
         self.cache = KVCache.create(cfg.n_layer, num_slots, cache_len,
-                                    cfg.n_local_heads, cfg.head_dim, dtype)
+                                    cfg.n_local_heads, cfg.head_dim, dtype,
+                                    pos_major=cfg.kv_cache_layout == "pos")
         self.freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
         self.fast_freqs = precompute_freqs_cis(cfg.num_codebooks,
                                                cfg.fast_head_dim, cfg.rope_base)

@@ -90,6 +90,11 @@ class DualARConfig:
     # "native" (params dtype) or "int8": quantized KV cache halves the cache
     # bandwidth that dominates decode at large batch*seq
     kv_cache_dtype: str = "native"
+    # "head" (L,B,Hkv,S,D) or "pos" (L,S,B,Hkv,D): position-major makes the
+    # per-step cache write a contiguous tile-aligned slice (~30 us/layer
+    # cheaper at 4B serving shapes). Decode requires the streaming Pallas
+    # attention kernel; prefill pays one transposing read per layer.
+    kv_cache_layout: str = "head"
     # int8 activation x int8 weight MXU dots for quantized layers (2x MXU
     # rate, no weight-dequant pass; accuracy trade vs the reference's
     # weight-only PTQ — serving opt-in, see ops/quant.matmul_t)
@@ -134,7 +139,8 @@ class DualARConfig:
                         self.pallas_attn_block_rows,
                         self.pallas_attn_int8_scores,
                         self.pallas_attn_chunk,
-                        self.pallas_attn_stream)
+                        self.pallas_attn_stream,
+                        self.kv_cache_layout == "pos")
 
     @property
     def fast_attn(self) -> "AttnDims":
@@ -215,6 +221,7 @@ class AttnDims:
     # route block-of-rows attention through the single-grid-step streaming
     # kernel (cross-block DMA pipelining)
     pallas_stream: bool = False
+    kv_pos_major: bool = False
 
 
 def apply_pallas_attn_mode(cfg: DualARConfig, mode: str,

@@ -145,7 +145,8 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
         from ..ops.fast_fused import FusedFastCache
 
         fast_cache = FusedFastCache.create(cfg.n_fast_layer,
-                                           cfg.num_codebooks, b, cfg.fast_dim)
+                                           cfg.num_codebooks,
+                                           -(-b // 8) * 8, cfg.fast_dim)
     else:
         fast_kv_dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
                          else out.hidden.dtype)
@@ -223,7 +224,8 @@ def generate(params: dict, cfg: DualARConfig, prompt: jax.Array,
     dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
              else param_dtype(params))
     cache = KVCache.create(cfg.n_layer, b, s, cfg.n_local_heads, cfg.head_dim,
-                           dtype=dtype)
+                           dtype=dtype,
+                           pos_major=cfg.kv_cache_layout == "pos")
     freqs_table = precompute_freqs_cis(s, cfg.head_dim, cfg.rope_base)
     fast_freqs_table = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
                                             cfg.rope_base)

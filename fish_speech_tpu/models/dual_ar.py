@@ -74,24 +74,35 @@ def apply_rotary_emb(x: jax.Array, freqs_cis: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, H_kv, S, Dh) — head-major so one head's stripe is
-    v: jax.Array  # contiguous (the Pallas decode kernel DMAs (S, Dh) blocks)
-    # int8 cache mode: per-(layer, row, head, position) dequant scales
-    ks: jax.Array | None = None  # (L, B, H_kv, S) f32
+    k: jax.Array  # (L, B, H_kv, S, Dh) head-major, or (L, S, B, H_kv, Dh)
+    v: jax.Array  # position-major (cfg.kv_cache_layout="pos": the per-step
+    # write is then a contiguous tile-aligned slice)
+    # int8 cache mode: per-(layer, row, head, position) dequant scales.
+    # head-major: (L, B, H_kv, S) f32. pos-major: FLAT (L, B, S*H_kv) f32
+    # with element [l, b, s*hkv + h] — matches the stream kernel's merged
+    # position-major score columns, so the per-row scale is one contiguous
+    # lane slice (a (L,S,B,H) or transposed form is either Mosaic-illegal
+    # to slice or 16x lane-padded)
+    ks: jax.Array | None = None
     vs: jax.Array | None = None
 
     @staticmethod
     def create(n_layer: int, batch: int, seq: int, n_kv: int, head_dim: int,
-               dtype=jnp.bfloat16) -> "KVCache":
-        shape = (n_layer, batch, n_kv, seq, head_dim)
+               dtype=jnp.bfloat16, pos_major: bool = False) -> "KVCache":
+        if pos_major:
+            shape = (n_layer, seq, batch, n_kv, head_dim)
+            sshape = (n_layer, batch, seq * n_kv)
+        else:
+            shape = (n_layer, batch, n_kv, seq, head_dim)
+            sshape = (n_layer, batch, n_kv, seq)
         k = jnp.zeros(shape, dtype)
         v = jnp.zeros(shape, dtype)
         if dtype == jnp.int8:
             # distinct buffers: ks/vs must not alias (the decode programs
             # donate the whole cache; donating one buffer through two leaves
             # is an INVALID_ARGUMENT on the TPU runtime)
-            return KVCache(k, v, jnp.zeros(shape[:-1], jnp.float32),
-                           jnp.zeros(shape[:-1], jnp.float32))
+            return KVCache(k, v, jnp.zeros(sshape, jnp.float32),
+                           jnp.zeros(sshape, jnp.float32))
         return KVCache(k, v)
 
 
@@ -140,6 +151,9 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
         store = cache.full if stacked else cache
         li = cache.layer if stacked else None
         int8_cache = store.k.dtype == jnp.int8
+        pos_major = ad.kv_pos_major
+        assert not pos_major or stacked, (
+            "kv_cache_layout='pos' needs the carry-mode stacked cache")
         # cache layout (B, H_kv, S, D); new k/v arrive as (B, T, H_kv, D)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
@@ -161,7 +175,24 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             # 5D<->4D reshape changes the int8 (8,128)(4,1) tiled layout, so
             # XLA materializes a relayout copy of the whole 3.6 GB cache
             # every layer. Keep the native-form dynamic_update_slice.
-            if stacked:
+            if stacked and pos_major:
+                # position-major: the write is a contiguous, tile-aligned
+                # (T, B, Hkv, D) slab at an untiled S index — no RMW
+                ck = jax.lax.dynamic_update_slice(
+                    store.k, kt.transpose(2, 0, 1, 3)[None],
+                    (li, input_pos, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    store.v, vt.transpose(2, 0, 1, 3)[None],
+                    (li, input_pos, 0, 0, 0))
+                if int8_cache:
+                    hkv_ = k_sc.shape[1]
+                    ksf = k_sc.transpose(0, 2, 1).reshape(b, -1)  # (B, T*H)
+                    vsf = v_sc.transpose(0, 2, 1).reshape(b, -1)
+                    cks = jax.lax.dynamic_update_slice(
+                        store.ks, ksf[None], (li, 0, input_pos * hkv_))
+                    cvs = jax.lax.dynamic_update_slice(
+                        store.vs, vsf[None], (li, 0, input_pos * hkv_))
+            elif stacked:
                 ck = jax.lax.dynamic_update_slice(
                     store.k, kt[None], (li, 0, 0, input_pos, 0))
                 cv = jax.lax.dynamic_update_slice(
@@ -190,7 +221,19 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             cols = input_pos[:, None] + jnp.arange(t)[None, :]
             val_k = kt.transpose(0, 2, 1, 3).astype(store.k.dtype)
             val_v = vt.transpose(0, 2, 1, 3).astype(store.v.dtype)
-            if stacked:
+            if stacked and pos_major:
+                ck = store.k.at[li, cols, rows].set(val_k)
+                cv = store.v.at[li, cols, rows].set(val_v)
+                if int8_cache:
+                    hkv_ = k_sc.shape[1]
+                    # flat scale slots: [b, pos*hkv + h]
+                    fcols = (cols[:, :, None] * hkv_
+                             + jnp.arange(hkv_)[None, None]).reshape(b, -1)
+                    cks = store.ks.at[li, rows, fcols].set(
+                        k_sc.transpose(0, 2, 1).reshape(b, -1))
+                    cvs = store.vs.at[li, rows, fcols].set(
+                        v_sc.transpose(0, 2, 1).reshape(b, -1))
+            elif stacked:
                 ck = store.k.at[li, rows, :, cols].set(val_k)
                 cv = store.v.at[li, rows, :, cols].set(val_v)
                 if int8_cache:
@@ -211,8 +254,28 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             # the attention einsums as an offset read (no copy)
             didx = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0,
                                                           keepdims=False)
-            rk, rv = didx(ck), didx(cv)
-            rks, rvs = (didx(cks), didx(cvs)) if int8_cache else (None, None)
+            if pos_major and pallas_bounds is not None and t == 1:
+                # the streaming kernel reads the full stacked buffers in
+                # place — never materialize a transposed per-layer slice
+                rk = rv = None
+                rks = rvs = None
+            elif pos_major:
+                # prefill-only transposing read back to (B, Hkv, S, D) for
+                # the einsum path (one materialized copy per layer; decode
+                # never takes this branch)
+                rk = didx(ck).transpose(1, 2, 0, 3)
+                rv = didx(cv).transpose(1, 2, 0, 3)
+                if int8_cache:
+                    ss = ck.shape[1]
+                    unflat = lambda a: (didx(a).reshape(b, ss, -1)
+                                        .transpose(0, 2, 1))
+                    rks, rvs = unflat(cks), unflat(cvs)
+                else:
+                    rks = rvs = None
+            else:
+                rk, rv = didx(ck), didx(cv)
+                rks, rvs = ((didx(cks), didx(cvs)) if int8_cache
+                            else (None, None))
         else:
             rk, rv = ck, cv
             rks, rvs = (cks, cvs) if int8_cache else (None, None)
@@ -247,13 +310,17 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             # read the layer's filled chunks of the full stacked cache in
             # place — no per-layer slice copy, no unfilled-position traffic
             nf = new_cache.full
-            if ad.pallas_block_rows > 0 and ad.pallas_stream:
+            if ad.pallas_block_rows > 0 and (ad.pallas_stream
+                                             or ad.kv_pos_major):
+                # pos-major caches are only readable by the streaming kernel
                 from ..ops.attention import pallas_decode_attention_stream
 
                 y = pallas_decode_attention_stream(
                     qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
                     lengths, starts, rows=ad.pallas_block_rows,
-                    chunk=ad.pallas_chunk)
+                    chunk=ad.pallas_chunk,
+                    int8_scores=ad.pallas_int8_scores,
+                    pos_major=ad.kv_pos_major)
             elif ad.pallas_block_rows > 0:
                 from ..ops.attention import pallas_decode_attention_blocks
 
@@ -529,7 +596,7 @@ def forward_generate(params: dict, cfg: DualARConfig, inp: jax.Array,
         freqs_cis = jnp.take(freqs_table, positions, axis=0)
     else:
         freqs_cis = jnp.take(freqs_table, rope_positions, axis=0)  # (B,T,·,2)
-    s = cache.k.shape[3]
+    s = cache.k.shape[1 if cfg.kv_cache_layout == "pos" else 3]
     key_pos = jnp.arange(s, dtype=jnp.int32)
     if positions.ndim == 1:  # scalar input_pos: shared positions
         mask = (key_pos[None, :] <= positions[:, None])[None, None]  # (1,1,T,S)
@@ -572,16 +639,23 @@ def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
     if "fast_packed" in params:
         # fused Pallas sweep (ops/fast_fused.py): whole stack in one kernel,
         # W8A8 dots, int8 position-major cache. Static positions only.
+        # Batch pads to a multiple of 8: Mosaic's int8 (8,128)(4,1) tiling
+        # rejects smaller cache-row DMAs (the cache is created pre-padded by
+        # decode_one_token; single-stream latency serving hits this).
         from ..ops.fast_fused import fused_fast_sweep
 
         assert isinstance(input_pos, int), (
             "fused fast head needs unroll_fast_sweeps (static positions)")
+        b = x.shape[0]
+        b8 = fast_cache.k.shape[2]
+        if b8 != b:
+            x = jnp.pad(x, ((0, b8 - b), (0, 0)))
         x, fast_cache = fused_fast_sweep(
             params["fast_packed"], x, fast_cache, fast_freqs_table,
             pos=input_pos, n_head=cfg.fast_n_head, eps=cfg.norm_eps)
         if not want_logits:
             return None, fast_cache
-        x = rms_norm(x, params["fast_norm"], cfg.norm_eps)
+        x = rms_norm(x[:b], params["fast_norm"], cfg.norm_eps)
         return matmul_t(x, params["fast_output"], w8a8=True), fast_cache
 
     x = x[:, None, :]  # (B, 1, D)

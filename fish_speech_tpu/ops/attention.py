@@ -669,14 +669,21 @@ def pallas_decode_attention_blocks(
 
 
 def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
-                               ks_hbm, vs_hbm, o_ref, sk, sv, sks, svs, sem,
-                               *, scale, chunk, int8_cache, rows, hkv, g,
-                               ncells):
+                               ks_hbm, vs_hbm, o_ref, sk, sv, sks, svs,
+                               qi8_s, qsc_s, sem,
+                               *, scale, chunk, int8_cache, int8_scores,
+                               rows, hkv, g, ncells, pos_major):
     """Single grid step streaming ALL row-blocks: a flat (cell, chunk)
     cursor walks the filled chunks of every block in one lax.while_loop with
     the next DMA always in flight — unlike the grid-(B/rows,) blocks kernel,
     the first chunk of each block is prefetched during the previous block's
-    tail, so no per-cell DMA latency is ever exposed."""
+    tail, so no per-cell DMA latency is ever exposed.
+
+    pos_major=True reads (L, S, B, Hkv, D) values and (L, B, S*Hkv) flat
+    scales (element [l, b, s*hkv + h]): the merged score columns are then
+    position-major (col = off*hkv + kvh) and the scale row for a batch row is
+    a plain contiguous lane slice — no transposes or padded reshapes, which
+    Mosaic cannot lower."""
     li = layer_ref[0]
     h_all = hkv * g
     d = q_ref.shape[-1]
@@ -700,6 +707,23 @@ def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
 
     def dma(cell, ci, slot):
         bs = pl.ds(cell * rows, rows)
+        if pos_major:
+            sl = pl.ds(ci * chunk, chunk)
+            copies = [
+                pltpu.make_async_copy(k_hbm.at[li, sl, bs], sk.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[li, sl, bs], sv.at[slot],
+                                      sem.at[slot, 1]),
+            ]
+            if int8_cache:
+                fl = pl.ds(ci * chunk * hkv, chunk * hkv)
+                copies += [
+                    pltpu.make_async_copy(ks_hbm.at[li, bs, fl],
+                                          sks.at[slot], sem.at[slot, 2]),
+                    pltpu.make_async_copy(vs_hbm.at[li, bs, fl],
+                                          svs.at[slot], sem.at[slot, 3]),
+                ]
+            return copies
         sl = pl.ds(ci * chunk, chunk)
         copies = [
             pltpu.make_async_copy(k_hbm.at[li, bs, :, sl], sk.at[slot],
@@ -719,8 +743,24 @@ def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
     row_kvh = jax.lax.broadcasted_iota(jnp.int32, (h_all, hkv * chunk),
                                        0) // g
     col = jax.lax.broadcasted_iota(jnp.int32, (h_all, hkv * chunk), 1)
-    col_kvh = col // chunk
-    col_off = col % chunk
+    if pos_major:  # merged rows are position-major: col = off*hkv + kvh
+        col_kvh = col % hkv
+        col_off = col // hkv
+    else:          # head-major merge: col = kvh*chunk + off
+        col_kvh = col // chunk
+        col_off = col % chunk
+
+    use_i8 = int8_scores and int8_cache
+    if use_i8:
+        # loop-invariant: quantize all query rows once per (row, head) so the
+        # score dots run on the int8 MXU with no per-chunk k bf16 convert.
+        # Stored in scratch refs: dynamic row indexing inside the loop is
+        # only legal on refs, not values, in Mosaic.
+        qf = q_ref[:].astype(jnp.float32)
+        qsc = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+                          / 127.0, 1e-8)
+        qi8_s[:] = jnp.round(qf / qsc).astype(jnp.int8)
+        qsc_s[:] = qsc
 
     def init_carry():
         return tuple((jnp.full((h_all, 1), -1e30, jnp.float32),
@@ -747,13 +787,24 @@ def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
         for i in range(rows):
             m, l, acc = carry[i]
             length, start = row_bounds(cell * rows + i)
-            k8 = sk[slot, i].reshape(hkv * chunk, d)
-            kb = k8.astype(jnp.bfloat16) if int8_cache else k8
-            qi = q_ref[cell * rows + i].astype(kb.dtype)
-            s = jax.lax.dot_general(qi, kb, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32
-                                    ) * scale
+            if pos_major:
+                k8 = sk[slot, :, i].reshape(hkv * chunk, d)
+            else:
+                k8 = sk[slot, i].reshape(hkv * chunk, d)
+            if use_i8:
+                s = jax.lax.dot_general(
+                    qi8_s[cell * rows + i], k8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (qsc_s[cell * rows + i] * scale)
+            else:
+                kb = k8.astype(jnp.bfloat16) if int8_cache else k8
+                qi = q_ref[cell * rows + i].astype(kb.dtype)
+                s = jax.lax.dot_general(qi, kb, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32
+                                        ) * scale
             if int8_cache:
+                # pos-major flat scales arrive already in merged-column
+                # order; head-major slots merge naturally the same way
                 s = s * sks[slot, i].reshape(1, hkv * chunk)
             pos = ci * chunk + col_off
             valid = ((row_kvh == col_kvh) & (pos < length) & (pos >= start))
@@ -762,11 +813,12 @@ def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            v_sl = sv[slot, :, i] if pos_major else sv[slot, i]
             if int8_cache:
                 p = p * svs[slot, i].reshape(1, hkv * chunk)
-                vb = sv[slot, i].reshape(hkv * chunk, d).astype(jnp.bfloat16)
+                vb = v_sl.reshape(hkv * chunk, d).astype(jnp.bfloat16)
             else:
-                vb = sv[slot, i].reshape(hkv * chunk, d)
+                vb = v_sl.reshape(hkv * chunk, d)
             acc_new = acc * corr + jnp.dot(p.astype(vb.dtype), vb,
                                            preferred_element_type=jnp.float32)
 
@@ -787,21 +839,27 @@ def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
                        (jnp.int32(0), first_ci, jnp.int32(0), init_carry()))
 
 
-@partial(jax.jit, static_argnames=("rows", "chunk", "interpret"))
+@partial(jax.jit, static_argnames=("rows", "chunk", "int8_scores",
+                                   "pos_major", "interpret"))
 def pallas_decode_attention_stream(
         q: jax.Array, k_full: jax.Array, v_full: jax.Array,
         ks_full: jax.Array | None, vs_full: jax.Array | None,
         layer: jax.Array, lengths: jax.Array, starts: jax.Array,
-        rows: int = 16, chunk: int = 128,
-        interpret: bool | None = None) -> jax.Array:
+        rows: int = 16, chunk: int = 128, int8_scores: bool = False,
+        pos_major: bool = False, interpret: bool | None = None) -> jax.Array:
     """Streaming decode attention over one layer of the stacked cache: like
     `pallas_decode_attention_blocks` but all B/rows blocks run in ONE grid
     step with cross-block DMA pipelining (see the kernel docstring).
-    q: (B, Hkv, G, D) -> (B, Hkv, G, D)."""
+    q: (B, Hkv, G, D) -> (B, Hkv, G, D).
+
+    pos_major: values are (L, S, B, Hkv, D) and int8 scales are the FLAT
+    (L, B, S*Hkv) form — decode cache writes become contiguous tile-aligned
+    slices (the head-major layout costs ~30 us/layer of read-modify-write in
+    XLA's dynamic_update_slice at 4B serving shapes)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, hkv, g, d = q.shape
-    s = k_full.shape[3]
+    s = k_full.shape[1] if pos_major else k_full.shape[3]
     if s % chunk != 0:
         chunk = s
     while b % rows != 0:
@@ -810,11 +868,15 @@ def pallas_decode_attention_stream(
     scale = 1.0 / math.sqrt(d)
     int8_cache = ks_full is not None
     if ks_full is None:
-        ks_full = jnp.zeros((1, 1, 1, s), jnp.float32)
+        ks_full = jnp.zeros((1, 1, 1), jnp.float32)
         vs_full = ks_full
     bounds = jnp.stack([lengths.astype(jnp.int32),
                         starts.astype(jnp.int32)], axis=1)
     qf = q.reshape(b, hkv * g, d)
+    slot_shape = ((2, chunk, rows, hkv, d) if pos_major
+                  else (2, rows, hkv, chunk, d))
+    sc_shape = ((2, rows, hkv * chunk) if pos_major
+                else (2, rows, hkv, chunk))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -828,17 +890,19 @@ def pallas_decode_attention_stream(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, hkv, chunk, d), k_full.dtype),
-            pltpu.VMEM((2, rows, hkv, chunk, d), v_full.dtype),
-            pltpu.VMEM((2, rows, hkv, chunk), jnp.float32),
-            pltpu.VMEM((2, rows, hkv, chunk), jnp.float32),
+            pltpu.VMEM(slot_shape, k_full.dtype),
+            pltpu.VMEM(slot_shape, v_full.dtype),
+            pltpu.VMEM(sc_shape, jnp.float32),
+            pltpu.VMEM(sc_shape, jnp.float32),
+            pltpu.VMEM((b, hkv * g, d), jnp.int8),     # qi8 (int8_scores)
+            pltpu.VMEM((b, hkv * g, 1), jnp.float32),  # q scales
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
         partial(_decode_attn_stream_kernel, scale=scale, chunk=chunk,
-                int8_cache=int8_cache, rows=rows, hkv=hkv, g=g,
-                ncells=b // rows),
+                int8_cache=int8_cache, int8_scores=int8_scores, rows=rows,
+                hkv=hkv, g=g, ncells=b // rows, pos_major=pos_major),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv * g, d), q.dtype),
         interpret=interpret,

@@ -244,3 +244,117 @@ def test_stream_kernel_matches_xla_bf16_and_int8():
     ref8 = xla_decode_attention(q, kd, vd, lengths, starts)
     np.testing.assert_allclose(np.asarray(out8, np.float32),
                                np.asarray(ref8, np.float32), atol=2e-2)
+
+
+def test_stream_kernel_int8_scores():
+    """int8-MXU score variant of the streaming kernel (q quantized once)."""
+    from fish_speech_tpu.ops.attention import pallas_decode_attention_stream
+
+    rng = np.random.default_rng(13)
+    L, b, hkv, g, d, s = 2, 4, 8, 4, 32, 128
+    layer = 0
+    q = jnp.asarray(rng.standard_normal((b, hkv, g, d)), jnp.bfloat16)
+    lengths = jnp.asarray([100, 128, 37, 64], jnp.int32)
+    starts = jnp.asarray([0, 30, 5, 0], jnp.int32)
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    out = pallas_decode_attention_stream(
+        q, k8, v8, ks, vs, jnp.int32(layer), lengths, starts,
+        rows=2, chunk=64, int8_scores=True)
+    kd = k8[layer].astype(jnp.bfloat16) * ks[layer][..., None].astype(jnp.bfloat16)
+    vd = v8[layer].astype(jnp.bfloat16) * vs[layer][..., None].astype(jnp.bfloat16)
+    ref = xla_decode_attention(q, kd, vd, lengths, starts)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=6e-2)
+
+
+def test_stream_kernel_pos_major():
+    """Position-major (L,S,B,Hkv,D) cache values; head-major scales."""
+    from fish_speech_tpu.ops.attention import pallas_decode_attention_stream
+
+    rng = np.random.default_rng(17)
+    L, b, hkv, g, d, s = 2, 4, 8, 4, 32, 128
+    layer = 1
+    q = jnp.asarray(rng.standard_normal((b, hkv, g, d)), jnp.bfloat16)
+    lengths = jnp.asarray([100, 128, 37, 64], jnp.int32)
+    starts = jnp.asarray([0, 30, 5, 0], jnp.int32)
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, b, hkv, s, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.001, 0.02, (L, b, hkv, s)), jnp.float32)
+    kp = k8.transpose(0, 3, 1, 2, 4)  # (L, S, B, Hkv, D)
+    vp = v8.transpose(0, 3, 1, 2, 4)
+    # flat pos-major scales: [l, b, s*hkv + h]
+    ksf = ks.transpose(0, 1, 3, 2).reshape(L, b, s * hkv)
+    vsf = vs.transpose(0, 1, 3, 2).reshape(L, b, s * hkv)
+    for i8 in (False, True):
+        out = pallas_decode_attention_stream(
+            q, kp, vp, ksf, vsf, jnp.int32(layer), lengths, starts,
+            rows=2, chunk=64, int8_scores=i8, pos_major=True)
+        kd = k8[layer].astype(jnp.bfloat16) * ks[layer][..., None].astype(jnp.bfloat16)
+        vd = v8[layer].astype(jnp.bfloat16) * vs[layer][..., None].astype(jnp.bfloat16)
+        ref = xla_decode_attention(q, kd, vd, lengths, starts)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=6e-2 if i8 else 2e-2)
+
+    # bf16 cache (no scales)
+    kf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    vf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.bfloat16)
+    out = pallas_decode_attention_stream(
+        q, kf.transpose(0, 3, 1, 2, 4), vf.transpose(0, 3, 1, 2, 4),
+        None, None, jnp.int32(layer), lengths, starts,
+        rows=2, chunk=64, pos_major=True)
+    ref = xla_decode_attention(q, kf[layer], vf[layer], lengths, starts)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_pos_major_decode_matches_head_major():
+    """kv_cache_layout='pos' (stream kernel + contiguous cache writes) must
+    reproduce the head-major greedy stream through the whole decode."""
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.decode import SamplingConfig, generate
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.sampling import semantic_logit_bias
+    from ref_harness import random_lm_prompt
+
+    cfg = tiny_dual_ar_config()
+    params = init_dual_ar_params(jax.random.key(5), cfg)
+    prompt = random_lm_prompt(cfg, 9, np.random.default_rng(21))
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, 4)
+
+    def run(c):
+        codes, _ = generate(
+            params, c, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+            jax.random.key(0), SamplingConfig.create(), bias,
+            max_new_tokens=5, im_end_id=4, greedy=True, cache_len=64)
+        return np.asarray(codes)
+
+    head = run(dataclasses.replace(cfg, use_pallas_attention=True,
+                                   pallas_attn_block_rows=16,
+                                   pallas_attn_stream=True,
+                                   pallas_attn_int8_scores=False))
+    pos = run(dataclasses.replace(cfg, use_pallas_attention=True,
+                                  pallas_attn_block_rows=16,
+                                  pallas_attn_stream=True,
+                                  pallas_attn_int8_scores=False,
+                                  kv_cache_layout="pos"))
+    np.testing.assert_array_equal(head, pos)
+
+    # int8 cache variant
+    head8 = run(dataclasses.replace(cfg, use_pallas_attention=True,
+                                    pallas_attn_block_rows=16,
+                                    pallas_attn_stream=True,
+                                    pallas_attn_int8_scores=False,
+                                    kv_cache_dtype="int8"))
+    pos8 = run(dataclasses.replace(cfg, use_pallas_attention=True,
+                                   pallas_attn_block_rows=16,
+                                   pallas_attn_stream=True,
+                                   pallas_attn_int8_scores=False,
+                                   kv_cache_dtype="int8",
+                                   kv_cache_layout="pos"))
+    np.testing.assert_array_equal(head8, pos8)

@@ -74,6 +74,12 @@ def build_engine(args):
         from fish_speech_tpu.models.config import apply_pallas_attn_mode
 
         cfg = apply_pallas_attn_mode(cfg, args.pallas_attn)
+    if getattr(args, "kv_layout", "head") != "head":
+        import dataclasses
+
+        if not (cfg.use_pallas_attention and cfg.pallas_attn_block_rows):
+            raise SystemExit("--kv-layout pos needs --pallas-attn stream[N]")
+        cfg = dataclasses.replace(cfg, kv_cache_layout=args.kv_layout)
     if getattr(args, "fused_fast", False):
         from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head
         from fish_speech_tpu.ops.quant import is_quantized
@@ -132,6 +138,10 @@ def main():
     parser.add_argument("--fused-fast", action="store_true",
                         help="fused fast-head sweep kernel (one Pallas call "
                              "per codebook; needs an int8 checkpoint)")
+    parser.add_argument("--kv-layout", choices=["head", "pos"],
+                        default="head",
+                        help="pos = position-major KV cache: contiguous "
+                             "per-step writes (needs --pallas-attn stream)")
     args = parser.parse_args()
 
     from aiohttp import web

@@ -41,6 +41,7 @@ def main():
                     help="decode attention: 0 | rows | blocks[N][-bf16] | stream[N]")
     ap.add_argument("--fused-fast", action="store_true",
                     help="fused fast-head sweep kernel (needs --quant)")
+    ap.add_argument("--kv-layout", choices=["head", "pos"], default="head")
     ap.add_argument("--chunk-frames", type=int, default=8,
                     help="acoustic frames per emitted audio chunk")
     ap.add_argument("--scheduler-chunk", type=int, default=1,
@@ -101,6 +102,8 @@ def main():
         from fish_speech_tpu.models.config import apply_pallas_attn_mode
 
         cfg = apply_pallas_attn_mode(cfg, args.pallas_attn)
+    if args.kv_layout != "head":
+        cfg = dataclasses.replace(cfg, kv_cache_layout=args.kv_layout)
     params = init_dual_ar_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     if args.quant:
         from fish_speech_tpu.ops.quant import quantize_lm_params

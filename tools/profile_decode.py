@@ -50,7 +50,8 @@ def run_workload(args):
         params = jax.jit(quantize_lm_params)(params)
     kv_dtype = jnp.int8 if args.kv_int8 else jnp.bfloat16
     cache = KVCache.create(cfg.n_layer, args.batch, args.cache,
-                           cfg.n_local_heads, cfg.head_dim, dtype=kv_dtype)
+                           cfg.n_local_heads, cfg.head_dim, dtype=kv_dtype,
+                           pos_major=args.kv_layout == "pos")
     freqs = precompute_freqs_cis(args.cache, cfg.head_dim, cfg.rope_base)
     fast_freqs = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
                                       cfg.rope_base)
@@ -63,6 +64,8 @@ def run_workload(args):
         w8a8_matmuls=args.w8a8)
     from fish_speech_tpu.models.config import apply_pallas_attn_mode
     cfg = apply_pallas_attn_mode(cfg, args.pallas, chunk=args.pallas_chunk)
+    if args.kv_layout != "head":
+        cfg = dataclasses.replace(cfg, kv_cache_layout=args.kv_layout)
     if args.fused_fast:
         from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head
 
@@ -152,6 +155,7 @@ def main():
     ap.add_argument("--pallas-chunk", type=int, default=128)
     ap.add_argument("--fused-fast", action="store_true",
                     help="fused fast-head sweep kernel (needs --quant)")
+    ap.add_argument("--kv-layout", choices=["head", "pos"], default="head")
     ap.add_argument("--logdir", default="/tmp/jaxtrace")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args()

@@ -43,6 +43,8 @@ def main():
                    help="decode attention: 0 | rows | blocks[N][-bf16] | stream[N]")
     p.add_argument("--fused-fast", action="store_true",
                    help="fused fast-head sweep kernel (int8 checkpoints)")
+    p.add_argument("--kv-layout", choices=["head", "pos"], default="head",
+                   help="pos = position-major KV cache (needs stream attn)")
     args = p.parse_args()
 
     from api_server import build_engine
@@ -56,6 +58,7 @@ def main():
         w8a8 = args.w8a8
         pallas_attn = args.pallas_attn
         fused_fast = args.fused_fast
+        kv_layout = args.kv_layout
 
     engine = build_engine(EngineArgs)
 
