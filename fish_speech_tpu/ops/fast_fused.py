@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N_TILES = 13  # q, k, v, wo, w1 x3, w3 x3, w2 x3
+N_TILES = 14     # q, k, v, wo, w1 x3, w3 x3, w2 x3, pad
+N_PHASES = 7     # tiles stream in PAIRS: one 2 MB block per grid step
 
 
 class FusedFastCache(NamedTuple):
@@ -88,6 +89,7 @@ def pack_fast_stack(fast_layers: dict) -> dict:
         rows3(w1["q"]),
         rows3(w3["q"]),
         w2["q"].reshape(L, dim, 3, dim).transpose(0, 2, 1, 3),  # column tiles
+        jnp.zeros((L, 1, dim, dim), wqkv["q"].dtype),  # pad to 14 = 7 pairs
     ], axis=1)
     s = jnp.concatenate([
         wqkv["s"].reshape(L, 3, dim),
@@ -95,7 +97,8 @@ def pack_fast_stack(fast_layers: dict) -> dict:
         w1["s"].reshape(L, 3, dim),
         w3["s"].reshape(L, 3, dim),
         jnp.broadcast_to(w2["s"][:, None], (L, 3, dim)),
-    ], axis=1).astype(jnp.float32)[:, :, None, :]  # (L, 13, 1, dim):
+        jnp.zeros((L, 1, dim), jnp.float32),
+    ], axis=1).astype(jnp.float32)[:, :, None, :]  # (L, 14, 1, dim):
     # Mosaic blocks need the last two dims full or (8, 128)-aligned
     norms = jnp.stack([fast_layers["attention_norm"],
                        fast_layers["ffn_norm"]], axis=1).astype(jnp.bfloat16)
@@ -156,17 +159,27 @@ def _fast_sweep_kernel(x_ref, w_ref, ws_ref, norm_ref, rope_ref, msum_ref,
                        x_s, xq8, xqs, q_s, k8_s, v8_s, ksc_s, vsc_s,
                        attn_s, h2_s, h28_s, h2s_s, pre_k, pre_v, pre_ks,
                        pre_vs, rsem, wsem, *, pos, n_layer, n_head, eps):
+    """Grid (L, 7): each step streams a PAIR of (dim, dim) int8 tiles (one
+    2 MB block — pairing halves the per-grid-step overhead vs one tile per
+    step; the 14th tile is zero padding). Phase map:
+      0: q-proj + k-proj (rope, cache write)      [tiles q, k]
+      1: v-proj + attention + wo + residual       [tiles v, wo]
+      2: ffn norm/quant + silu(gate) slices 0,1   [tiles w1a, w1b]
+      3: silu(gate) slice 2 + up slice 0          [tiles w1c, w3a]
+      4: up slices 1,2                            [tiles w3b, w3c]
+      5: quantize h2 + w2 partials 0,1            [tiles w2a, w2b]
+      6: w2 partial 2 + residual (+ emit x)       [tiles w2c, pad]"""
     l = pl.program_id(0)
     t = pl.program_id(1)
     dim = x_s.shape[1]
     d = dim // n_head
     scale = 1.0 / math.sqrt(d)
 
-    def w8a8(x8, xs):
-        acc = jax.lax.dot_general(x8, w_ref[0, 0], (((1,), (1,)), ((), ())),
+    def w8a8(x8, xs, j):
+        acc = jax.lax.dot_general(x8, w_ref[0, j], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         return (acc.astype(jnp.float32) * xs
-                * ws_ref[0, 0].astype(jnp.float32))
+                * ws_ref[0, j].astype(jnp.float32))
 
     def rms(xb, nw):
         xf = xb.astype(jnp.float32)
@@ -208,7 +221,7 @@ def _fast_sweep_kernel(x_ref, w_ref, ws_ref, norm_ref, rope_ref, msum_ref,
         return pltpu.make_async_copy(src, dst.at[l, pos], wsem.at[i])
 
     @pl.when(t == 0)
-    def _():  # q tile; also: init x, start prefix reads, norm + quantize
+    def _():  # init x + prefix reads; q tile (j=0) + k tile (j=1)
         @pl.when(l == 0)
         def _():
             x_s[:] = x_ref[:]
@@ -219,20 +232,17 @@ def _fast_sweep_kernel(x_ref, w_ref, ws_ref, norm_ref, rope_ref, msum_ref,
         x8, xs = _quant_rows(xn.astype(jnp.float32))
         xq8[:] = x8
         xqs[:] = xs
-        q_s[:] = rope(w8a8(x8, xs).astype(jnp.bfloat16))
-
-    @pl.when(t == 1)
-    def _():  # k tile -> rope -> quantize -> cache write
-        kb = rope(w8a8(xq8[:], xqs[:]).astype(jnp.bfloat16))
+        q_s[:] = rope(w8a8(x8, xs, 0).astype(jnp.bfloat16))
+        kb = rope(w8a8(x8, xs, 1).astype(jnp.bfloat16))
         k8, sc = quant_cache(kb)
         k8_s[:] = k8
         ksc_s[:] = sc
         write_copy(0).start()
         write_copy(1).start()
 
-    @pl.when(t == 2)
-    def _():  # v tile -> quantize -> cache write (then drain all writes)
-        vb = w8a8(xq8[:], xqs[:]).astype(jnp.bfloat16)
+    @pl.when(t == 1)
+    def _():  # v tile (j=0); attention; wo tile (j=1); residual
+        vb = w8a8(xq8[:], xqs[:], 0).astype(jnp.bfloat16)
         v8, sc = quant_cache(vb)
         v8_s[:] = v8
         vsc_s[:] = sc
@@ -241,8 +251,6 @@ def _fast_sweep_kernel(x_ref, w_ref, ws_ref, norm_ref, rope_ref, msum_ref,
         for i in range(4):
             write_copy(i).wait()
 
-    @pl.when(t == 3)
-    def _():  # attention (VPU + segment-sum matmuls) -> wo -> residual
         if pos > 0:
             for c in prefix_copies():
                 c.wait()
@@ -274,47 +282,56 @@ def _fast_sweep_kernel(x_ref, w_ref, ws_ref, norm_ref, rope_ref, msum_ref,
             out = out + (pe.astype(jnp.bfloat16)
                          * v8.astype(jnp.bfloat16)).astype(jnp.float32)
         a8, asc = _quant_rows(out.astype(jnp.bfloat16).astype(jnp.float32))
-        x_s[:] = x_s[:] + w8a8(a8, asc).astype(jnp.bfloat16)
+        x_s[:] = x_s[:] + w8a8(a8, asc, 1).astype(jnp.bfloat16)
 
-    @pl.when(t == 4)
-    def _():  # ffn entry: norm + quantize once for w1/w3 tiles
+    def silu_slice(c, j):
+        # silu in f32: Mosaic's bf16 `logistic` lowering emits a mixed
+        # f32->bf16 vector.broadcast that fails MLIR verification
+        g = w8a8(xq8[:], xqs[:], j).astype(jnp.bfloat16).astype(jnp.float32)
+        h2_s[:, c * dim:(c + 1) * dim] = (
+            g * jax.nn.sigmoid(g)).astype(jnp.bfloat16)
+
+    def up_slice(c, j):
+        u = w8a8(xq8[:], xqs[:], j).astype(jnp.bfloat16)
+        h2_s[:, c * dim:(c + 1) * dim] = h2_s[:, c * dim:(c + 1) * dim] * u
+
+    @pl.when(t == 2)
+    def _():  # ffn norm/quant once; gate slices 0, 1
         fn = rms(x_s[:], norm_ref[0, 1])
         x8, xs = _quant_rows(fn.astype(jnp.float32))
         xq8[:] = x8
         xqs[:] = xs
+        silu_slice(0, 0)
+        silu_slice(1, 1)
 
-    for c in range(3):
-        @pl.when(t == 4 + c)
-        def _(c=c):  # w1 row tile -> silu(gate) slice
-            # silu in f32: Mosaic's bf16 `logistic` lowering emits a mixed
-            # f32->bf16 vector.broadcast that fails MLIR verification
-            g = w8a8(xq8[:], xqs[:]).astype(jnp.bfloat16).astype(jnp.float32)
-            h2_s[:, c * dim:(c + 1) * dim] = (
-                g * jax.nn.sigmoid(g)).astype(jnp.bfloat16)
+    @pl.when(t == 3)
+    def _():
+        silu_slice(2, 0)
+        up_slice(0, 1)
 
-        @pl.when(t == 7 + c)
-        def _(c=c):  # w3 row tile -> gate * up slice
-            u = w8a8(xq8[:], xqs[:]).astype(jnp.bfloat16)
-            h2_s[:, c * dim:(c + 1) * dim] = (
-                h2_s[:, c * dim:(c + 1) * dim] * u)
+    @pl.when(t == 4)
+    def _():
+        up_slice(1, 0)
+        up_slice(2, 1)
 
-    @pl.when(t == 9)
-    def _():  # quantize the full (B, 3*dim) ffn hidden row-wise
+    def w2_partial(c, j):
+        acc = jax.lax.dot_general(
+            h28_s[:, c * dim:(c + 1) * dim], w_ref[0, j],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        attn_s[:] = attn_s[:] + acc.astype(jnp.float32)
+
+    @pl.when(t == 5)
+    def _():  # quantize the (B, 3*dim) ffn hidden; w2 partials 0, 1
         h8, hs = _quant_rows(h2_s[:].astype(jnp.float32))
         h28_s[:] = h8
         h2s_s[:] = hs
         attn_s[:] = jnp.zeros(attn_s.shape, jnp.float32)
+        w2_partial(0, 0)
+        w2_partial(1, 1)
 
-    for c in range(3):
-        @pl.when(t == 10 + c)
-        def _(c=c):  # w2 column tile: accumulate partial int8 dots
-            acc = jax.lax.dot_general(
-                h28_s[:, c * dim:(c + 1) * dim], w_ref[0, 0],
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-            attn_s[:] = attn_s[:] + acc.astype(jnp.float32)
-
-    @pl.when(t == N_TILES - 1)
-    def _():  # close the layer; emit x after the last one
+    @pl.when(t == N_PHASES - 1)
+    def _():  # w2 partial 2 (j=0; tile 13 is padding); close the layer
+        w2_partial(2, 0)
         y = attn_s[:] * h2s_s[:] * ws_ref[0, 0].astype(jnp.float32)
         x_s[:] = x_s[:] + y.astype(jnp.bfloat16)
 
@@ -339,11 +356,11 @@ def fused_fast_sweep(packed: dict, x: jax.Array, cache: FusedFastCache,
     msum, mexp = _head_masks(dim, n_head)
     p_buf = max(pos, 1)
 
-    grid = (L, N_TILES)
+    grid = (L, N_PHASES)
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # x
-            pl.BlockSpec((1, 1, dim, dim), lambda l, t: (l, t, 0, 0)),
-            pl.BlockSpec((1, 1, 1, dim), lambda l, t: (l, t, 0, 0)),
+            pl.BlockSpec((1, 2, dim, dim), lambda l, t: (l, t, 0, 0)),
+            pl.BlockSpec((1, 2, 1, dim), lambda l, t: (l, t, 0, 0)),
             pl.BlockSpec((1, 2, dim), lambda l, t: (l, 0, 0)),        # norms
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # rope
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # msum
@@ -395,6 +412,8 @@ def fused_fast_sweep(packed: dict, x: jax.Array, cache: FusedFastCache,
             pltpu.SemaphoreType.DMA((4,)),             # cache writes
         ],
         input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(x.astype(jnp.bfloat16), packed["w"], packed["s"], packed["norms"],
       rope, msum, mexp, cache.k, cache.v, cache.ks, cache.vs)
