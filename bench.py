@@ -24,6 +24,12 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 import jax
 import jax.numpy as jnp
 
+# BENCH_PLATFORM=cpu forces the CPU smoke path (the container pins
+# JAX_PLATFORMS=axon at plugin-registration level, so the env var alone
+# cannot override it)
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 # persistent compilation cache: the 4B decode program takes minutes to build
 # cold; cached, re-runs warm up in seconds
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -79,8 +85,18 @@ def main():
     if os.environ.get("BENCH_KV", kv_default) == "int8":
         kv_dtype = jnp.int8
         print("# int8 KV cache", file=sys.stderr)
-    kv_layout = os.environ.get("BENCH_KV_LAYOUT",
-                               "pos" if on_tpu else "head")
+    pallas_mode = os.environ.get("BENCH_PALLAS", "stream" if on_tpu else "0")
+    kv_layout = os.environ.get("BENCH_KV_LAYOUT", None)
+    if kv_layout is None:
+        # pos layout is only decodable by the streaming kernel; keep the
+        # einsum baseline (BENCH_PALLAS=0) apples-to-apples on head-major
+        # (pos + einsums is correct but pays a transposing per-layer copy)
+        kv_layout = ("pos" if on_tpu and pallas_mode.startswith("stream")
+                     else "head")
+    elif kv_layout == "pos" and not pallas_mode.startswith("stream"):
+        print("# WARNING: BENCH_KV_LAYOUT=pos without BENCH_PALLAS=stream "
+              "runs the transposing einsum read every step (slow baseline)",
+              file=sys.stderr)
     if kv_layout == "pos":
         print("# position-major KV cache", file=sys.stderr)
     cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,
@@ -113,8 +129,7 @@ def main():
     # step streaming variant (cross-block DMA pipelining)
     from fish_speech_tpu.models.config import apply_pallas_attn_mode
     cfg = apply_pallas_attn_mode(
-        cfg, os.environ.get("BENCH_PALLAS",
-                            "stream" if on_tpu else "0"),
+        cfg, pallas_mode,
         chunk=int(os.environ.get("BENCH_PALLAS_CHUNK", "128")))
     if cfg.w8a8_matmuls:
         print("# w8a8 int8 MXU matmuls", file=sys.stderr)
@@ -124,21 +139,26 @@ def main():
     # Run steps_per_call decode steps inside ONE jitted program so the host
     # (and the axon tunnel) dispatches once per chunk, exactly like the
     # production while_loop in models/decode.py.
+    from fish_speech_tpu.ops.sampling import push_window
+
     @partial(jax.jit, donate_argnums=(1,))
-    def run_chunk(params, cache, cur, pos, key):
+    def run_chunk(params, cache, cur, prev_win, pos, key):
+        # the RAS window is carried and pushed every step, exactly like the
+        # production body in models/decode.py:258-275
         def body(i, carry):
-            cache, cur, key = carry
+            cache, cur, prev_win, key = carry
             key, sub = jax.random.split(key)
             col, new_cache = decode_one_token(
                 params, cfg, cur, cache, pos + i, freqs,
                 fast_freqs, bias, sub, sampling, prev_win,
                 top_k=30, greedy=False,
                 sample_support=(sem_begin, sem_end, im_end))
-            return new_cache, col[:, :, None], key
+            return (new_cache, col[:, :, None],
+                    push_window(prev_win, col[:, 0]), key)
 
-        cache, cur, key = jax.lax.fori_loop(
-            0, steps_per_call, body, (cache, cur, key))
-        return cache, cur
+        cache, cur, prev_win, key = jax.lax.fori_loop(
+            0, steps_per_call, body, (cache, cur, prev_win, key))
+        return cache, cur, prev_win
 
     cur = jnp.zeros((batch, cfg.num_codebooks + 1, 1), jnp.int32)
     pos = jnp.int32(128)
@@ -146,7 +166,7 @@ def main():
     t_compile = time.perf_counter()
     for i in range(warmup):
         key, sub = jax.random.split(key)
-        cache, cur = run_chunk(params, cache, cur, pos, sub)
+        cache, cur, prev_win = run_chunk(params, cache, cur, prev_win, pos, sub)
         pos = pos + steps_per_call
     jax.block_until_ready(cur)
     compile_s = time.perf_counter() - t_compile
@@ -154,7 +174,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(iters):
         key, sub = jax.random.split(key)
-        cache, cur = run_chunk(params, cache, cur, pos, sub)
+        cache, cur, prev_win = run_chunk(params, cache, cur, prev_win, pos, sub)
         pos = pos + steps_per_call
     jax.block_until_ready(cur)
     dt = time.perf_counter() - t0

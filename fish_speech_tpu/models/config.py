@@ -103,6 +103,13 @@ class DualARConfig:
     # codebook positions fold RoPE/mask to constants and let attention read
     # only the filled fast-cache prefix; bit-identical sampling stream
     unroll_fast_sweeps: bool = False
+    # tensor-parallel shard count over the mesh `model` axis. >1 routes the
+    # Pallas serving kernels through shard_map (parallel/tp.py: stream
+    # attention head-sharded, fused fast head batch-split) and shard-blocks
+    # the position-major int8 scale layout so each device owns a contiguous
+    # flat slice. Decode programs must be traced under
+    # parallel.tp.decode_mesh(mesh) with mesh.shape["model"] == tp_shards.
+    tp_shards: int = 1
 
     def __post_init__(self):
         s = lambda k, v: object.__setattr__(self, k, v)
@@ -129,6 +136,22 @@ class DualARConfig:
             s("fast_attention_qk_norm", self.attention_qk_norm)
         if self.fast_attention_o_bias is None:
             s("fast_attention_o_bias", self.attention_o_bias)
+        # Central layout/kernel pairing guard (shared by bench.py, the
+        # serving CLIs and the tools): a position-major KV cache is only
+        # readable in decode by the STREAMING block-of-rows kernel — the
+        # per-row/blocks kernels index head-major (L,B,Hkv,S,D) and would
+        # silently misread a (L,S,B,Hkv,D) buffer.
+        if self.kv_cache_layout == "pos" and self.use_pallas_attention:
+            if self.pallas_attn_block_rows <= 0 or not self.pallas_attn_stream:
+                raise ValueError(
+                    "kv_cache_layout='pos' requires the streaming decode "
+                    "kernel: use pallas attention mode 'stream[N]' "
+                    "(got block_rows=%d stream=%s)"
+                    % (self.pallas_attn_block_rows, self.pallas_attn_stream))
+        if self.tp_shards > 1 and self.n_local_heads % self.tp_shards != 0:
+            raise ValueError(
+                f"tp_shards={self.tp_shards} must divide n_local_heads="
+                f"{self.n_local_heads} (KV heads are model-axis sharded)")
 
     # --- sub-config views -------------------------------------------------
     @property
@@ -140,7 +163,8 @@ class DualARConfig:
                         self.pallas_attn_int8_scores,
                         self.pallas_attn_chunk,
                         self.pallas_attn_stream,
-                        self.kv_cache_layout == "pos")
+                        self.kv_cache_layout == "pos",
+                        self.tp_shards)
 
     @property
     def fast_attn(self) -> "AttnDims":
@@ -222,6 +246,10 @@ class AttnDims:
     # kernel (cross-block DMA pipelining)
     pallas_stream: bool = False
     kv_pos_major: bool = False
+    # >1: kernels dispatch through parallel/tp.py shard_map wrappers, and
+    # the pos-major int8 flat scales use the shard-blocked encoding
+    # [shard*(S*Hkv/tp) + s*(Hkv/tp) + h_local]
+    tp_shards: int = 1
 
 
 def apply_pallas_attn_mode(cfg: DualARConfig, mode: str,

@@ -144,9 +144,17 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
     if fused_fast:
         from ..ops.fast_fused import FusedFastCache
 
+        pad = 8  # Mosaic int8 tiling needs (local) batch % 8 == 0
+        if cfg.tp_shards > 1:
+            # the fused sweep batch-splits over the WHOLE mesh under TP
+            from ..parallel.tp import get_decode_mesh
+
+            mesh = get_decode_mesh()
+            assert mesh is not None, "tp_shards > 1 needs decode_mesh(mesh)"
+            pad = 8 * mesh.size
         fast_cache = FusedFastCache.create(cfg.n_fast_layer,
                                            cfg.num_codebooks,
-                                           -(-b // 8) * 8, cfg.fast_dim)
+                                           -(-b // pad) * pad, cfg.fast_dim)
     else:
         fast_kv_dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
                          else out.hidden.dtype)
@@ -226,6 +234,21 @@ def generate(params: dict, cfg: DualARConfig, prompt: jax.Array,
     cache = KVCache.create(cfg.n_layer, b, s, cfg.n_local_heads, cfg.head_dim,
                            dtype=dtype,
                            pos_major=cfg.kv_cache_layout == "pos")
+    if cfg.tp_shards > 1:
+        # pin the cache's decode sharding (batch over data, heads over
+        # model) so GSPMD never materializes a resharding copy between the
+        # in-program create and the shard_map'd kernels
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import kv_cache_spec
+        from ..parallel.tp import get_decode_mesh
+
+        mesh = get_decode_mesh()
+        assert mesh is not None, "tp_shards > 1 needs decode_mesh(mesh)"
+        spec = kv_cache_spec(cfg.kv_cache_layout, dtype == jnp.int8)
+        cache = jax.tree.map(
+            lambda x, sp: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, sp)), cache, spec)
     freqs_table = precompute_freqs_cis(s, cfg.head_dim, cfg.rope_base)
     fast_freqs_table = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
                                             cfg.rope_base)

@@ -185,13 +185,27 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
                     store.v, vt.transpose(2, 0, 1, 3)[None],
                     (li, input_pos, 0, 0, 0))
                 if int8_cache:
+                    # flat scales are shard-blocked for TP (tp_shards=1 is
+                    # one plain DUS): shard j owns the contiguous span
+                    # [j*S*hl, (j+1)*S*hl) holding ITS heads' s-major flat,
+                    # so a model-axis split of the last dim hands each
+                    # device exactly the local layout the stream kernel
+                    # expects (hl = Hkv/tp_shards)
                     hkv_ = k_sc.shape[1]
-                    ksf = k_sc.transpose(0, 2, 1).reshape(b, -1)  # (B, T*H)
-                    vsf = v_sc.transpose(0, 2, 1).reshape(b, -1)
-                    cks = jax.lax.dynamic_update_slice(
-                        store.ks, ksf[None], (li, 0, input_pos * hkv_))
-                    cvs = jax.lax.dynamic_update_slice(
-                        store.vs, vsf[None], (li, 0, input_pos * hkv_))
+                    ns = ad.tp_shards
+                    hl = hkv_ // ns
+                    span = store.ks.shape[2] // ns  # S * hl
+                    cks, cvs = store.ks, store.vs
+                    for j in range(ns):
+                        ksf = (k_sc[:, j * hl:(j + 1) * hl]
+                               .transpose(0, 2, 1).reshape(b, -1))
+                        vsf = (v_sc[:, j * hl:(j + 1) * hl]
+                               .transpose(0, 2, 1).reshape(b, -1))
+                        off = j * span + input_pos * hl
+                        cks = jax.lax.dynamic_update_slice(
+                            cks, ksf[None], (li, 0, off))
+                        cvs = jax.lax.dynamic_update_slice(
+                            cvs, vsf[None], (li, 0, off))
             elif stacked:
                 ck = jax.lax.dynamic_update_slice(
                     store.k, kt[None], (li, 0, 0, input_pos, 0))
@@ -225,10 +239,14 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
                 ck = store.k.at[li, cols, rows].set(val_k)
                 cv = store.v.at[li, cols, rows].set(val_v)
                 if int8_cache:
+                    # shard-blocked flat slots (tp_shards=1 degenerates to
+                    # [b, pos*hkv + h]): [b, (h//hl)*S*hl + pos*hl + h%hl]
                     hkv_ = k_sc.shape[1]
-                    # flat scale slots: [b, pos*hkv + h]
-                    fcols = (cols[:, :, None] * hkv_
-                             + jnp.arange(hkv_)[None, None]).reshape(b, -1)
+                    hl = hkv_ // ad.tp_shards
+                    span = store.ks.shape[2] // ad.tp_shards
+                    h_idx = jnp.arange(hkv_)
+                    fcols = (((h_idx // hl) * span + (h_idx % hl))[None, None]
+                             + cols[:, :, None] * hl).reshape(b, -1)
                     cks = store.ks.at[li, rows, fcols].set(
                         k_sc.transpose(0, 2, 1).reshape(b, -1))
                     cvs = store.vs.at[li, rows, fcols].set(
@@ -267,8 +285,10 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
                 rv = didx(cv).transpose(1, 2, 0, 3)
                 if int8_cache:
                     ss = ck.shape[1]
-                    unflat = lambda a: (didx(a).reshape(b, ss, -1)
-                                        .transpose(0, 2, 1))
+                    ns = ad.tp_shards  # shard-blocked flat (see write above)
+                    unflat = lambda a: (didx(a).reshape(b, ns, ss, -1)
+                                        .transpose(0, 1, 3, 2)
+                                        .reshape(b, -1, ss))
                     rks, rvs = unflat(cks), unflat(cvs)
                 else:
                     rks = rvs = None
@@ -313,27 +333,55 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             if ad.pallas_block_rows > 0 and (ad.pallas_stream
                                              or ad.kv_pos_major):
                 # pos-major caches are only readable by the streaming kernel
-                from ..ops.attention import pallas_decode_attention_stream
+                if ad.tp_shards > 1:
+                    # sharded cache: run the kernel per-shard (heads over
+                    # `model`, batch over `data`) via shard_map
+                    from ..parallel.tp import stream_attention_tp
 
-                y = pallas_decode_attention_stream(
-                    qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
-                    lengths, starts, rows=ad.pallas_block_rows,
-                    chunk=ad.pallas_chunk,
-                    int8_scores=ad.pallas_int8_scores,
-                    pos_major=ad.kv_pos_major)
+                    y = stream_attention_tp(
+                        qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
+                        lengths, starts, rows=ad.pallas_block_rows,
+                        chunk=ad.pallas_chunk,
+                        int8_scores=ad.pallas_int8_scores,
+                        pos_major=ad.kv_pos_major, tp_shards=ad.tp_shards)
+                else:
+                    from ..ops.attention import (
+                        pallas_decode_attention_stream,
+                    )
+
+                    y = pallas_decode_attention_stream(
+                        qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
+                        lengths, starts, rows=ad.pallas_block_rows,
+                        chunk=ad.pallas_chunk,
+                        int8_scores=ad.pallas_int8_scores,
+                        pos_major=ad.kv_pos_major)
             elif ad.pallas_block_rows > 0:
-                from ..ops.attention import pallas_decode_attention_blocks
+                if ad.tp_shards > 1:
+                    from ..parallel.tp import blocks_attention_tp
 
-                y = pallas_decode_attention_blocks(
-                    qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
-                    lengths, starts, rows=ad.pallas_block_rows,
-                    chunk=ad.pallas_chunk,
-                    int8_scores=ad.pallas_int8_scores)
+                    y = blocks_attention_tp(
+                        qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
+                        lengths, starts, rows=ad.pallas_block_rows,
+                        chunk=ad.pallas_chunk,
+                        int8_scores=ad.pallas_int8_scores,
+                        tp_shards=ad.tp_shards)
+                else:
+                    from ..ops.attention import (
+                        pallas_decode_attention_blocks,
+                    )
+
+                    y = pallas_decode_attention_blocks(
+                        qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
+                        lengths, starts, rows=ad.pallas_block_rows,
+                        chunk=ad.pallas_chunk,
+                        int8_scores=ad.pallas_int8_scores)
             else:
                 from ..ops.attention import (
                     pallas_decode_attention_stacked_rows,
                 )
 
+                assert ad.tp_shards == 1, (
+                    "per-row kernel has no TP wrapper; use stream[N]")
                 y = pallas_decode_attention_stacked_rows(
                     qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
                     lengths, starts)
@@ -642,17 +690,27 @@ def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
         # Batch pads to a multiple of 8: Mosaic's int8 (8,128)(4,1) tiling
         # rejects smaller cache-row DMAs (the cache is created pre-padded by
         # decode_one_token; single-stream latency serving hits this).
-        from ..ops.fast_fused import fused_fast_sweep
-
         assert isinstance(input_pos, int), (
             "fused fast head needs unroll_fast_sweeps (static positions)")
         b = x.shape[0]
         b8 = fast_cache.k.shape[2]
         if b8 != b:
             x = jnp.pad(x, ((0, b8 - b), (0, 0)))
-        x, fast_cache = fused_fast_sweep(
-            params["fast_packed"], x, fast_cache, fast_freqs_table,
-            pos=input_pos, n_head=cfg.fast_n_head, eps=cfg.norm_eps)
+        if cfg.tp_shards > 1:
+            # multi-chip: batch-split the sweep over the whole mesh with
+            # replicated weights (parallel/tp.py)
+            from ..parallel.tp import fused_fast_sweep_tp
+
+            x, fast_cache = fused_fast_sweep_tp(
+                params["fast_packed"], x, fast_cache, fast_freqs_table,
+                pos=input_pos, n_head=cfg.fast_n_head, eps=cfg.norm_eps,
+                tp_shards=cfg.tp_shards)
+        else:
+            from ..ops.fast_fused import fused_fast_sweep
+
+            x, fast_cache = fused_fast_sweep(
+                params["fast_packed"], x, fast_cache, fast_freqs_table,
+                pos=input_pos, n_head=cfg.fast_n_head, eps=cfg.norm_eps)
         if not want_logits:
             return None, fast_cache
         x = rms_norm(x[:b], params["fast_norm"], cfg.norm_eps)

@@ -81,20 +81,58 @@ def dual_ar_param_specs(params: dict) -> dict:
         return specs
 
     specs = {
-        "embeddings": P(None, None),
-        "codebook_embeddings": P(None, None),
-        "layers": stack_specs(params["layers"]),
-        "norm": P(None),
-        "fast_embeddings": P(None, None),
-        "fast_layers": stack_specs(params["fast_layers"]),
-        "fast_norm": P(None),
-        "fast_output": P(MODEL_AXIS, None),
+        k: v for k, v in {
+            "embeddings": P(None, None),
+            "codebook_embeddings": P(None, None),
+            "norm": P(None),
+            "fast_embeddings": P(None, None),
+            "fast_norm": P(None),
+            "fast_output": P(MODEL_AXIS, None),
+        }.items() if k in params
     }
+    if "layers" in params:
+        specs["layers"] = stack_specs(params["layers"])
+    if "fast_layers" in params:
+        specs["fast_layers"] = stack_specs(params["fast_layers"])
+    if "fast_packed" in params:
+        # fused fast-head streaming pack (ops/fast_fused.py): replicated —
+        # under TP the fused sweep batch-splits over the mesh with full
+        # weights per device (the kernel is weight-streaming; sharding its
+        # weights would need an in-kernel psum). ~400 MB int8 per chip.
+        specs["fast_packed"] = jax.tree.map(lambda _: P(),
+                                            params["fast_packed"])
     if "output" in params:
         specs["output"] = P(MODEL_AXIS, None)
     if "fast_project_in" in params:
         specs["fast_project_in"] = {"w": P(MODEL_AXIS, None), "b": P(MODEL_AXIS)}
-    return specs
+    if "codebook_norm" in params:  # naive model head
+        specs["codebook_norm"] = P(None)
+    if "codebook_output" in params:
+        specs["codebook_output"] = P(MODEL_AXIS, None)
+    return _expand_quant_specs(params, specs)
+
+
+def _expand_quant_specs(params: dict, specs: dict) -> dict:
+    """Align the spec tree with quantized parameter pytrees: an int8 leaf is
+    the subtree {"q": int8 (..., out, in), "s": f32 (..., out)} and int4 is
+    {"q", "gs" (..., out, groups)} (ops/quant.py) — the weight spec applies
+    to "q" verbatim, scales inherit it minus ("s") or including ("gs", same
+    rank as q) the input-dim axis."""
+    from ..ops.quant import is_quantized
+
+    def expand(p, s):
+        if is_quantized(p):
+            out = {"q": s}
+            if "s" in p:
+                out["s"] = P(*s[:-1])
+            else:
+                # groups axis replicated (tiny; sharding it would tie the
+                # groupsize to the mesh shape)
+                out["gs"] = P(*s[:-1], None)
+            return out
+        return s
+
+    return jax.tree.map(expand, params, specs, is_leaf=is_quantized)
 
 
 def shard_dual_ar_params(params: dict, mesh: Mesh) -> dict:
@@ -103,9 +141,41 @@ def shard_dual_ar_params(params: dict, mesh: Mesh) -> dict:
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
-def kv_cache_spec() -> P:
-    """(L, B, H_kv, S, Dh): batch over data, heads over model."""
-    return P(None, DATA_AXIS, MODEL_AXIS, None, None)
+def kv_cache_spec(layout: str = "head", int8: bool = False):
+    """Spec pytree for a models.dual_ar.KVCache: batch over `data`, KV heads
+    over `model`.
+
+    head-major: k/v (L, B, Hkv, S, Dh), scales (L, B, Hkv, S).
+    pos-major:  k/v (L, S, B, Hkv, Dh); int8 scales are the shard-blocked
+    FLAT (L, B, tp * S*Hkv_local) layout (dual_ar.attention write path), so
+    a model-axis split of the last dim hands each device its contiguous
+    local s-major flat."""
+    from ..models.dual_ar import KVCache
+
+    if layout == "pos":
+        kv = P(None, None, DATA_AXIS, MODEL_AXIS, None)
+        sc = P(None, DATA_AXIS, MODEL_AXIS)
+    else:
+        kv = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+        sc = P(None, DATA_AXIS, MODEL_AXIS, None)
+    if not int8:
+        return KVCache(kv, kv)
+    return KVCache(kv, kv, sc, sc)
+
+
+def shard_kv_cache(cache, mesh: Mesh):
+    """Place a KVCache with the decode shardings (see kv_cache_spec)."""
+    from ..models.dual_ar import KVCache
+
+    pos_major = cache.k.ndim == 5 and cache.ks is not None and \
+        cache.ks.ndim == 3
+    if cache.ks is None:
+        # layout is ambiguous without scales: head-major is (L,B,Hkv,S,D),
+        # pos-major (L,S,B,Hkv,D) — caller disambiguates via kv_cache_spec
+        raise ValueError("use kv_cache_spec() + device_put for bf16 caches")
+    spec = kv_cache_spec("pos" if pos_major else "head", int8=True)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, spec)
 
 
 def shard_batch(x, mesh: Mesh):

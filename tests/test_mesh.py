@@ -71,6 +71,88 @@ def test_tp_decode_matches_single_device():
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_tp_quantized_serving_config_matches_single_device():
+    """The FULL fast serving config — int8 weights + W8A8 + position-major
+    int8 KV cache + streaming Pallas decode attention + fused fast head —
+    sharded DPxTP over the 8-device mesh must produce the single-device
+    greedy stream exactly (VERDICT r1 item 1)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.decode import SamplingConfig, generate
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+    from fish_speech_tpu.ops.sampling import semantic_logit_bias
+    from fish_speech_tpu.parallel.mesh import (
+        MeshConfig, create_mesh, shard_dual_ar_params)
+    from fish_speech_tpu.parallel.tp import decode_mesh
+    from ref_harness import random_lm_prompt
+
+    base = dataclasses.replace(
+        tiny_dual_ar_config(),
+        n_head=8, n_local_heads=4, dim=128, head_dim=16,
+        intermediate_size=256, max_seq_len=64,
+        # fast stack in the fused kernel's "3x" family
+        fast_dim=64, fast_n_head=4, fast_n_local_heads=4, fast_head_dim=16,
+        fast_intermediate_size=192,
+        w8a8_matmuls=True, kv_cache_dtype="int8", kv_cache_layout="pos",
+        use_pallas_attention=True, pallas_attn_block_rows=2,
+        pallas_attn_stream=True, pallas_attn_int8_scores=True,
+        unroll_fast_sweeps=True)
+    params = quantize_lm_params(
+        init_dual_ar_params(jax.random.key(0), base))
+    params = enable_fused_fast_head(params)
+    rng = np.random.default_rng(7)
+    prompt = np.stack([random_lm_prompt(base, 12, rng) for _ in range(2)])
+
+    import jax.numpy as jnp
+    bias = semantic_logit_bias(base.vocab_size, base.semantic_begin_id,
+                               base.semantic_end_id, 4)
+
+    def run(p, cfg):
+        codes, lengths = generate(
+            p, cfg, jnp.asarray(prompt), jnp.zeros((2,), jnp.int32),
+            jax.random.key(0), SamplingConfig.create(), bias,
+            max_new_tokens=6, im_end_id=4, greedy=True, cache_len=64)
+        return np.asarray(codes)
+
+    single = run(params, base)
+
+    mesh = create_mesh(MeshConfig(data=2, model=4))
+    cfg_tp = dataclasses.replace(base, tp_shards=4)
+    with decode_mesh(mesh):
+        sharded_params = shard_dual_ar_params(params, mesh)
+        sharded = run(sharded_params, cfg_tp)
+
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_quantized_param_specs_descend():
+    """dual_ar_param_specs must mirror quantized {"q","s"}/{"q","gs"}
+    subtrees (round-1 VERDICT: it crashed on quantized pytrees)."""
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+    from fish_speech_tpu.parallel.mesh import (
+        MeshConfig, create_mesh, shard_dual_ar_params)
+
+    cfg = tiny_dual_ar_config()
+    params = quantize_lm_params(init_dual_ar_params(jax.random.key(0), cfg))
+    mesh = create_mesh(MeshConfig(data=2, model=4))
+    sharded = shard_dual_ar_params(params, mesh)  # must not raise
+    assert sharded["layers"]["attention"]["wqkv"]["q"].shape == \
+        params["layers"]["attention"]["wqkv"]["q"].shape
+
+    # int4 groupwise variant
+    params4 = quantize_lm_params(
+        init_dual_ar_params(jax.random.key(0), cfg), mode="int4",
+        groupsize=16)
+    shard_dual_ar_params(params4, mesh)
+
+
 def test_unrolled_decode_matches_scan():
     """The unrolled layer loop (in-place cache) must equal the scan path."""
     import dataclasses

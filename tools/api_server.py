@@ -77,8 +77,10 @@ def build_engine(args):
     if getattr(args, "kv_layout", "head") != "head":
         import dataclasses
 
-        if not (cfg.use_pallas_attention and cfg.pallas_attn_block_rows):
-            raise SystemExit("--kv-layout pos needs --pallas-attn stream[N]")
+        if not (cfg.use_pallas_attention and cfg.pallas_attn_block_rows
+                and cfg.pallas_attn_stream):
+            raise SystemExit("--kv-layout pos needs --pallas-attn stream[N] "
+                             "(the blocks/rows kernels index head-major)")
         cfg = dataclasses.replace(cfg, kv_cache_layout=args.kv_layout)
     if getattr(args, "fused_fast", False):
         from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head

@@ -104,6 +104,11 @@ def main():
         cfg = apply_pallas_attn_mode(cfg, args.pallas_attn)
     if args.kv_layout != "head":
         cfg = dataclasses.replace(cfg, kv_cache_layout=args.kv_layout)
+    if args.fused_fast and not args.quant:
+        # match api_server: measuring "--fused-fast" without quantized
+        # weights would silently time the XLA fast path instead
+        raise SystemExit("--fused-fast needs --quant (the fused sweep "
+                         "streams int8 weight tiles)")
     params = init_dual_ar_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     if args.quant:
         from fish_speech_tpu.ops.quant import quantize_lm_params
