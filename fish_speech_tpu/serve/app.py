@@ -34,6 +34,7 @@ from .schema import (
     ServeTTSRequest,
     ServeVQGANDecodeRequest,
     ServeVQGANEncodeRequest,
+    UpdateReferenceRequest,
 )
 from .wav import decode_audio_bytes, encode_wav, float_to_pcm16, wav_chunk_header
 
@@ -177,6 +178,13 @@ class TTSApp:
             seed=req.seed if req.seed is not None else 42,
         )
 
+        if req.streaming and req.format not in ("wav", "pcm"):
+            # mp3/opus need whole-signal encoder state; match the
+            # reference's explicit rejection (views.py:167-171) instead of
+            # silently mislabeling bytes
+            raise web.HTTPBadRequest(
+                text="Streaming only supports wav/pcm formats")
+
         if req.streaming:
             resp = web.StreamResponse(status=200, headers={
                 "Content-Type": "audio/wav" if req.format == "wav"
@@ -227,6 +235,22 @@ class TTSApp:
         if req.format == "pcm":
             return web.Response(body=float_to_pcm16(wav),
                                 content_type="application/octet-stream")
+        if req.format == "mp3":
+            from .audio_codecs import encode_mp3, mp3_available
+
+            if not mp3_available():
+                raise web.HTTPBadRequest(
+                    text="mp3 unavailable (libmp3lame not found)")
+            body = await self._run(encode_mp3, wav, sample_rate)
+            return web.Response(body=body, content_type="audio/mpeg")
+        if req.format == "opus":
+            from .audio_codecs import encode_opus, opus_available
+
+            if not opus_available():
+                raise web.HTTPBadRequest(
+                    text="opus unavailable (libopus not found)")
+            body = await self._run(encode_opus, wav, sample_rate)
+            return web.Response(body=body, content_type="audio/ogg")
         return web.Response(body=encode_wav(wav, sample_rate),
                             content_type="audio/wav")
 
@@ -249,15 +273,17 @@ class TTSApp:
                                   "message": "Success"})
 
     async def references_update(self, request: web.Request) -> web.Response:
-        raw = await request.read()
-        data = (msgpack.unpackb(raw, raw=False)
-                if request.content_type == "application/msgpack"
-                else json.loads(raw))
-        old_id = data["old_reference_id"] if isinstance(data, dict) else None
-        new_id = data.get("new_reference_id") if isinstance(data, dict) else None
-        if self.ref_store is None or not old_id or not new_id:
+        try:
+            req = await _parse_body(request, UpdateReferenceRequest)
+        except Exception as e:
             return web.json_response({"success": False,
-                                      "message": "bad request"}, status=400)
+                                      "message": f"bad request: {e}"},
+                                     status=400)
+        old_id, new_id = req.old_reference_id, req.new_reference_id
+        if self.ref_store is None:
+            return web.json_response({"success": False,
+                                      "message": "no reference store"},
+                                     status=500)
         import shutil
 
         src = self.ref_store.root / old_id

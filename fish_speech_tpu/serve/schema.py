@@ -65,6 +65,13 @@ class ServeTTSRequest(BaseModel):
     temperature: Annotated[float, Field(ge=0.1, le=1.0, strict=True)] = 0.8
 
 
+class UpdateReferenceRequest(BaseModel):
+    old_reference_id: str = Field(..., min_length=1, max_length=255,
+                                  pattern=r"^[a-zA-Z0-9\-_ ]+$")
+    new_reference_id: str = Field(..., min_length=1, max_length=255,
+                                  pattern=r"^[a-zA-Z0-9\-_ ]+$")
+
+
 class AddReferenceRequest(BaseModel):
     id: str = Field(..., min_length=1, max_length=255, pattern=r"^[a-zA-Z0-9\-_ ]+$")
     audio: bytes

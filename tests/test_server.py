@@ -112,10 +112,69 @@ def test_server_endpoints(tmp_path):
                 "reference_id": "alice", "chunk_length": 200})
             assert r.status == 200
 
+            # references update (pydantic-validated body)
+            r = await client.post("/v1/references/update", json={
+                "old_reference_id": "alice", "new_reference_id": "bob"})
+            assert r.status == 200 and (await r.json())["success"] is True
+            r = await client.post("/v1/references/update", json={
+                "old_reference_id": "bob"})  # missing field -> 400
+            assert r.status == 400
+
             r = await client.delete("/v1/references/delete",
-                                    data=json.dumps({"reference_id": "alice"}))
+                                    data=json.dumps({"reference_id": "bob"}))
             assert (await r.json())["success"] is True
+
+            # mp3 / opus buffered responses (real encoders, ref
+            # api_utils.py:83-93 content types)
+            r = await client.post("/v1/tts", json={
+                "text": "compressed", "max_new_tokens": 4,
+                "format": "mp3", "chunk_length": 200})
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "audio/mpeg"
+            mp3 = await r.read()
+            assert mp3[:2] in (b"\xff\xfb", b"\xff\xfa", b"\xff\xf3") or \
+                mp3[:3] == b"ID3"
+
+            r = await client.post("/v1/tts", json={
+                "text": "compressed", "max_new_tokens": 4,
+                "format": "opus", "chunk_length": 200})
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "audio/ogg"
+            opus = await r.read()
+            assert opus[:4] == b"OggS" and b"OpusHead" in opus[:64]
+
+            # streaming + compressed format must be rejected, not mislabeled
+            # (matches ref views.py:167-171)
+            r = await client.post("/v1/tts", json={
+                "text": "x", "max_new_tokens": 4, "format": "mp3",
+                "streaming": True, "chunk_length": 200})
+            assert r.status == 400
         finally:
             await client.close()
 
     _run(scenario())
+
+
+def test_audio_codecs_roundtrip():
+    """ctypes codec bindings: mp3 frame sync + full Ogg/Opus decode
+    roundtrip against the resampled source."""
+    from fish_speech_tpu.serve.audio_codecs import (
+        decode_opus, encode_mp3, encode_opus, mp3_available, opus_available)
+
+    assert mp3_available() and opus_available()
+    sr = 44100
+    t = np.arange(sr) / sr
+    pcm = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+
+    mp3 = encode_mp3(pcm, sr)
+    assert len(mp3) > 4000 and mp3[0] == 0xFF and (mp3[1] & 0xE0) == 0xE0
+
+    opus = encode_opus(pcm, sr)
+    dec, in_rate = decode_opus(opus)
+    assert in_rate == sr
+    from scipy.signal import resample_poly
+
+    ref = resample_poly(pcm, 160, 147).astype(np.float32)
+    assert dec.shape == ref.shape
+    corr = np.corrcoef(dec, ref)[0, 1]
+    assert corr > 0.99, corr
