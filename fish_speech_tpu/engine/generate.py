@@ -301,7 +301,7 @@ class TTSEngine:
         """
         import queue as _queue
 
-        from ..codec.streaming import StreamingVocoder
+        from ..codec.streaming import StatefulVocoder
         from .scheduler import SlotRequest
 
         assert self.scheduler is not None, "stream_tts needs scheduler_slots>0"
@@ -313,8 +313,11 @@ class TTSEngine:
                                             max_bytes=req.chunk_length)
                    if turns else [req.text])
 
-        vocoder = StreamingVocoder(self.codec_params, self.codec_cfg,
-                                   chunk_frames=chunk_frames)
+        # stateful: each emitted frame is vocoded exactly once (the windowed
+        # StreamingVocoder fallback re-decodes a history window per chunk —
+        # ~12x redundant vocoder FLOPs at chunk_frames=16)
+        vocoder = StatefulVocoder(self.codec_params, self.codec_cfg,
+                                  chunk_frames=chunk_frames)
         for batch_text in batches:
             conversation.append(Message(
                 role="user", parts=[TextPart(text=batch_text)],

@@ -53,3 +53,49 @@ def test_streaming_long_window_phase():
     streamed = np.concatenate(chunks)
     assert streamed.shape == full.shape
     np.testing.assert_allclose(streamed, full, atol=1e-5, rtol=1e-5)
+
+
+def test_stateful_streaming_matches_full_decode():
+    """StatefulVocoder (carried conv ctx / transconv tails / windowed KV)
+    must equal full decode on uneven incremental feeds."""
+    from fish_speech_tpu.codec.streaming import StatefulVocoder
+
+    cfg = tiny_codec_config()
+    params = init_dac_params(jax.random.key(0), cfg)
+    t = 61
+    codes = _codes(cfg, t)
+
+    full = np.asarray(dac_from_indices(params, cfg, jnp.asarray(codes)[None]))[0]
+    sv = StatefulVocoder(params, cfg, chunk_frames=8)
+    chunks = []
+    for piece in (codes[:, :5], codes[:, 5:23], codes[:, 23:23],
+                  codes[:, 23:50], codes[:, 50:]):
+        chunks.extend(sv.feed(piece))
+    chunks.extend(sv.feed(final=True))
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=1e-5, rtol=1e-5)
+
+    # reset -> reusable for a second stream
+    sv.reset()
+    codes2 = _codes(cfg, 16, seed=9)
+    full2 = np.asarray(dac_from_indices(params, cfg,
+                                        jnp.asarray(codes2)[None]))[0]
+    streamed2 = np.concatenate(list(sv.feed(codes2, final=True)))
+    np.testing.assert_allclose(streamed2, full2, atol=1e-5, rtol=1e-5)
+
+
+def test_stateful_streaming_long_past_window():
+    """Stream well past the attention window so the rolling KV cache evicts."""
+    from fish_speech_tpu.codec.streaming import StatefulVocoder
+
+    cfg = tiny_codec_config()
+    params = init_dac_params(jax.random.key(1), cfg)
+    t = 120  # window is 16 in the tiny config
+    codes = _codes(cfg, t, seed=2)
+
+    full = np.asarray(dac_from_indices(params, cfg, jnp.asarray(codes)[None]))[0]
+    sv = StatefulVocoder(params, cfg, chunk_frames=8)
+    streamed = np.concatenate(list(sv.feed(codes, final=True)))
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=1e-5, rtol=1e-5)
