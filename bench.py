@@ -1,19 +1,28 @@
-"""Headline benchmark: batched S2-Pro-scale (4B) Dual-AR decode throughput on
-one chip, reported as audio-seconds of speech generated per wall-clock second.
+"""Headline benchmark: batched S2-Pro-scale (4B) END-TO-END TTS throughput on
+one chip — LM decode AND vocoder — in audio-seconds of speech per wall-clock
+second.
 
 Prints ONE JSON line:
   {"metric": "audio_seconds_per_second_per_chip", "value": N,
-   "unit": "audio_s/s/chip", "vs_baseline": N}
+   "unit": "audio_s/s/chip", "vs_baseline": N, ...parts...}
+
+`value` is the end-to-end figure: 1 / (1/lm + 1/vocoder) — both stages share
+the chip serially, so their occupancies add. The parts (lm_audio_s_per_s,
+vocoder_audio_s_per_s) and a second LM cache-length row
+(lm_audio_s_per_s_b128_s1024) are reported as extra keys. BENCH_FAST=1 skips
+everything but the headline LM row (`value` then falls back to LM-only and
+`note` says so).
 
 Baseline: the reference serves the same 4B model at RTF 0.195 on one H200 via
-SGLang (reference README.md:134-137) = 1/0.195 ≈ 5.13 audio-seconds/second.
-`vs_baseline` is our value divided by that. Acoustic frame rate is 44100/2048
-≈ 21.53 codes/s (reference modded_dac_vq.yaml + modded_dac.py:833,861), so
-audio_s/s = decode_steps/s × batch / 21.53.
+SGLang (reference README.md:134-137) = 1/0.195 ≈ 5.13 audio-seconds/second —
+an end-to-end TTS figure, so the comparison is apples-to-apples. Acoustic
+frame rate is 44100/2048 ≈ 21.53 codes/s (reference modded_dac_vq.yaml +
+modded_dac.py:833,861), so audio_s/s = decode_steps/s × batch / 21.53.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -39,34 +48,28 @@ FRAME_RATE = 44100.0 / 2048.0          # ≈ 21.53 acoustic tokens/s
 BASELINE_AUDIO_S_PER_S = 1.0 / 0.195   # reference RTF on 1x H200
 
 
-def main():
-    from fish_speech_tpu.models.config import s2_pro_lm_config
-    from fish_speech_tpu.models.decode import SamplingConfig, decode_one_token
-    from fish_speech_tpu.models.dual_ar import KVCache, precompute_freqs_cis
+def build_lm(on_tpu: bool):
+    """(params, cfg, bias, sampling bits) for the serving fast config."""
+    from fish_speech_tpu.models.config import (
+        apply_pallas_attn_mode,
+        s2_pro_lm_config,
+    )
     from fish_speech_tpu.models.init import init_dual_ar_params
-    from fish_speech_tpu.ops.sampling import RAS_WIN_SIZE, semantic_logit_bias
+    from fish_speech_tpu.ops.sampling import semantic_logit_bias
 
-    on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         # default = best verified serving config: int8 weights + W8A8 MXU
         # dots, position-major int8 KV cache, carry-mode layer stack,
         # streaming Pallas decode attention (int8 MXU scores), fused
-        # fast-head sweeps, batch 256, cache 384 -> ~382 audio-s/s/chip on
-        # v5e. BENCH_QUANT=0 / BENCH_W8A8=0 / BENCH_KV=bf16 /
+        # fast-head sweeps. BENCH_QUANT=0 / BENCH_W8A8=0 / BENCH_KV=bf16 /
         # BENCH_KV_LAYOUT=head / BENCH_PALLAS / BENCH_FUSED_FAST=0 /
         # BENCH_BATCH / BENCH_CACHE / BENCH_STACK / BENCH_FAST_UNROLL /
-        # BENCH_FAST_SCAN_UNROLL override; see README for the measured
-        # matrix.
+        # BENCH_FAST_SCAN_UNROLL override; see README for the matrix.
         cfg = s2_pro_lm_config(max_seq_len=2048)
-        batch = int(os.environ.get("BENCH_BATCH", "256"))
-        cache_len = int(os.environ.get("BENCH_CACHE", "384"))
-        warmup, iters = 1, 3
-        steps_per_call = 32
-    else:  # CPU smoke fallback
+    else:
         from __graft_entry__ import _entry_config
+
         cfg = _entry_config()
-        batch, cache_len, warmup, iters = 2, 256, 1, 2
-        steps_per_call = 4
 
     key = jax.random.key(0)
     params = init_dual_ar_params(key, cfg, dtype=jnp.bfloat16)
@@ -80,6 +83,7 @@ def main():
 
             params = enable_fused_fast_head(params)
             print("# fused fast-head sweeps", file=sys.stderr)
+
     kv_default = "int8" if on_tpu else "bf16"
     kv_dtype = jnp.bfloat16
     if os.environ.get("BENCH_KV", kv_default) == "int8":
@@ -90,7 +94,6 @@ def main():
     if kv_layout is None:
         # pos layout is only decodable by the streaming kernel; keep the
         # einsum baseline (BENCH_PALLAS=0) apples-to-apples on head-major
-        # (pos + einsums is correct but pays a transposing per-layer copy)
         kv_layout = ("pos" if on_tpu and pallas_mode.startswith("stream")
                      else "head")
     elif kv_layout == "pos" and not pallas_mode.startswith("stream"):
@@ -99,20 +102,14 @@ def main():
               file=sys.stderr)
     if kv_layout == "pos":
         print("# position-major KV cache", file=sys.stderr)
-    cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,
-                           cfg.head_dim, dtype=kv_dtype,
-                           pos_major=kv_layout == "pos")
-    freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
-    fast_freqs = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
-                                      cfg.rope_base)
+
     im_end = 5
     sem_begin = cfg.vocab_size - cfg.codebook_size - 8
     sem_end = cfg.vocab_size - 8 - 1
     bias = semantic_logit_bias(cfg.vocab_size, sem_begin, sem_end, im_end)
-    sampling = SamplingConfig.create(temperature=0.7, top_p=0.7)
-    prev_win = jnp.zeros((batch, RAS_WIN_SIZE), jnp.int32)
 
     import dataclasses
+
     cfg = dataclasses.replace(
         cfg, semantic_begin_id=sem_begin, semantic_end_id=sem_end,
         decode_stack_mode=os.environ.get("BENCH_STACK", ""),
@@ -123,28 +120,39 @@ def main():
         unroll_fast_sweeps=os.environ.get("BENCH_FAST_UNROLL", "0") == "1",
         kv_cache_dtype="int8" if kv_dtype == jnp.int8 else "native",
         kv_cache_layout=kv_layout)
-    # BENCH_PALLAS: 0 = einsums, 1/rows = per-row stacked kernel,
-    # blocks[N][-bf16] = block-of-rows kernel (N rows/cell, default 16;
-    # -bf16 keeps the score dot off the int8 MXU), stream[N] = single-grid-
-    # step streaming variant (cross-block DMA pipelining)
-    from fish_speech_tpu.models.config import apply_pallas_attn_mode
     cfg = apply_pallas_attn_mode(
         cfg, pallas_mode,
         chunk=int(os.environ.get("BENCH_PALLAS_CHUNK", "128")))
     if cfg.w8a8_matmuls:
         print("# w8a8 int8 MXU matmuls", file=sys.stderr)
+    return params, cfg, bias, kv_dtype, (sem_begin, sem_end, im_end)
 
+
+def measure_lm(params, cfg, bias, kv_dtype, support, *, batch: int,
+               cache_len: int, warmup: int, iters: int,
+               steps_per_call: int) -> float:
+    """Decode-loop throughput at (batch, cache_len) -> audio_s/s/chip."""
     from functools import partial
 
-    # Run steps_per_call decode steps inside ONE jitted program so the host
-    # (and the axon tunnel) dispatches once per chunk, exactly like the
-    # production while_loop in models/decode.py.
-    from fish_speech_tpu.ops.sampling import push_window
+    from fish_speech_tpu.models.decode import SamplingConfig, decode_one_token
+    from fish_speech_tpu.models.dual_ar import KVCache, precompute_freqs_cis
+    from fish_speech_tpu.ops.sampling import RAS_WIN_SIZE, push_window
 
+    sem_begin, sem_end, im_end = support
+    cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,
+                           cfg.head_dim, dtype=kv_dtype,
+                           pos_major=cfg.kv_cache_layout == "pos")
+    freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
+    fast_freqs = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
+                                      cfg.rope_base)
+    sampling = SamplingConfig.create(temperature=0.7, top_p=0.7)
+
+    # Run steps_per_call decode steps inside ONE jitted program so the host
+    # (and the axon tunnel) dispatches once per chunk; the RAS window is
+    # carried and pushed every step, exactly like the production body in
+    # models/decode.py:258-275.
     @partial(jax.jit, donate_argnums=(1,))
     def run_chunk(params, cache, cur, prev_win, pos, key):
-        # the RAS window is carried and pushed every step, exactly like the
-        # production body in models/decode.py:258-275
         def body(i, carry):
             cache, cur, prev_win, key = carry
             key, sub = jax.random.split(key)
@@ -160,11 +168,13 @@ def main():
             0, steps_per_call, body, (cache, cur, prev_win, key))
         return cache, cur, prev_win
 
+    key = jax.random.key(1)
     cur = jnp.zeros((batch, cfg.num_codebooks + 1, 1), jnp.int32)
+    prev_win = jnp.zeros((batch, RAS_WIN_SIZE), jnp.int32)
     pos = jnp.int32(128)
 
     t_compile = time.perf_counter()
-    for i in range(warmup):
+    for _ in range(warmup):
         key, sub = jax.random.split(key)
         cache, cur, prev_win = run_chunk(params, cache, cur, prev_win, pos, sub)
         pos = pos + steps_per_call
@@ -172,25 +182,133 @@ def main():
     compile_s = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
-    for i in range(iters):
+    for _ in range(iters):
         key, sub = jax.random.split(key)
         cache, cur, prev_win = run_chunk(params, cache, cur, prev_win, pos, sub)
         pos = pos + steps_per_call
     jax.block_until_ready(cur)
     dt = time.perf_counter() - t0
 
+    del cache
+    gc.collect()
     steps_per_s = iters * steps_per_call / dt
     audio_s_per_s = steps_per_s * batch / FRAME_RATE
+    print(f"# lm: B={batch} S={cache_len} decode_steps/s={steps_per_s:.1f} "
+          f"audio_s/s={audio_s_per_s:.1f} warmup_s={compile_s:.1f}",
+          file=sys.stderr)
+    return audio_s_per_s
+
+
+def measure_vocoder(on_tpu: bool, *, warmup: int = 1, iters: int = 3) -> float:
+    """Batched codes->waveform throughput (bf16 serving dtype) ->
+    audio_s/s/chip. The measured program is `dac_from_indices` — the exact
+    serving decode path (ref hot path modded_dac.py:760-801)."""
+    from fish_speech_tpu.codec import init_dac_params
+    from fish_speech_tpu.codec.config import (
+        s2_pro_codec_config,
+        tiny_codec_config,
+    )
+    from fish_speech_tpu.codec.model import dac_from_indices
+
+    if on_tpu:
+        ccfg = s2_pro_codec_config()
+        bv = int(os.environ.get("BENCH_VOC_BATCH", "8"))
+        tv = int(os.environ.get("BENCH_VOC_FRAMES", "128"))
+    else:
+        ccfg = tiny_codec_config()
+        bv, tv = 2, 16
+
+    cparams = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        init_dac_params(jax.random.key(2), ccfg))
+    n_q = ccfg.rvq.total_codebooks
+    codes = jax.random.randint(jax.random.key(3), (bv, n_q, tv), 0,
+                               ccfg.rvq.codebook_size, dtype=jnp.int32)
+    fn = jax.jit(lambda p, c: dac_from_indices(p, ccfg, c))
+
+    t_compile = time.perf_counter()
+    for _ in range(warmup):
+        wav = fn(cparams, codes)
+    jax.block_until_ready(wav)
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        wav = fn(cparams, codes)
+    jax.block_until_ready(wav)
+    dt = time.perf_counter() - t0
+
+    del cparams
+    gc.collect()
+    frames_per_s = iters * bv * tv / dt
+    audio_s_per_s = frames_per_s / FRAME_RATE
+    print(f"# vocoder: B={bv} T={tv} frames/s={frames_per_s:.0f} "
+          f"audio_s/s={audio_s_per_s:.1f} warmup_s={compile_s:.1f}",
+          file=sys.stderr)
+    return audio_s_per_s
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fast = os.environ.get("BENCH_FAST", "0") == "1"
+    if on_tpu:
+        batch = int(os.environ.get("BENCH_BATCH", "256"))
+        cache_len = int(os.environ.get("BENCH_CACHE", "384"))
+        warmup, iters, steps_per_call = 1, 3, 32
+    else:
+        batch, cache_len, warmup, iters, steps_per_call = 2, 256, 1, 2, 4
+
+    params, cfg, bias, kv_dtype, support = build_lm(on_tpu)
+    lm = measure_lm(params, cfg, bias, kv_dtype, support, batch=batch,
+                    cache_len=cache_len, warmup=warmup, iters=iters,
+                    steps_per_call=steps_per_call)
+
+    extras = {}
+    if not fast:
+        # second cache-length row: realistic long-generation serving shape
+        # (prompt + ~900 generated frames); batch scaled to fit HBM
+        b2 = int(os.environ.get("BENCH_BATCH2", "128"))
+        s2 = int(os.environ.get("BENCH_CACHE2", "1024"))
+        if not on_tpu:
+            b2, s2 = 2, 512
+        try:
+            extras[f"lm_audio_s_per_s_b{b2}_s{s2}"] = round(
+                measure_lm(params, cfg, bias, kv_dtype, support, batch=b2,
+                           cache_len=s2, warmup=warmup, iters=iters,
+                           steps_per_call=steps_per_call), 3)
+        except Exception as e:  # keep the headline even if the row OOMs
+            print(f"# lm row B={b2} S={s2} failed: {e}", file=sys.stderr)
+
+    del params
+    gc.collect()
+
+    voc = None
+    if not fast:
+        try:
+            voc = measure_vocoder(on_tpu, warmup=warmup, iters=iters)
+        except Exception as e:
+            print(f"# vocoder bench failed: {e}", file=sys.stderr)
+
+    if voc is not None:
+        value = 1.0 / (1.0 / lm + 1.0 / voc)
+        note = "end-to-end: 1/(1/lm + 1/vocoder), serial chip occupancy"
+    else:
+        value = lm
+        note = "LM-only (BENCH_FAST or vocoder row unavailable)"
     result = {
         "metric": "audio_seconds_per_second_per_chip",
-        "value": round(audio_s_per_s, 3),
+        "value": round(value, 3),
         "unit": "audio_s/s/chip",
-        "vs_baseline": round(audio_s_per_s / BASELINE_AUDIO_S_PER_S, 3),
+        "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
+        "lm_audio_s_per_s": round(lm, 3),
+        "note": note,
+        **extras,
     }
+    if voc is not None:
+        result["vocoder_audio_s_per_s"] = round(voc, 3)
     print(json.dumps(result))
-    print(f"# decode_steps/s={steps_per_s:.1f} batch={batch} "
-          f"platform={jax.devices()[0].platform} warmup_s={compile_s:.1f}",
-          file=sys.stderr)
+    print(f"# platform={jax.devices()[0].platform}", file=sys.stderr)
 
 
 if __name__ == "__main__":

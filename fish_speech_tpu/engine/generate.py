@@ -313,6 +313,17 @@ class TTSEngine:
                                             max_bytes=req.chunk_length)
                    if turns else [req.text])
 
+        # the system prompt (voice-clone reference) is identical across all
+        # segment requests -> mark it so the scheduler's prefix KV cache
+        # prefills it once per reference (radix-prefix-cache analog)
+        sys_encoded = conversation.encode_for_inference(
+            self.tokenizer, num_codebooks=self.cfg.num_codebooks)
+        prefix_len = sys_encoded.shape[1]
+        import hashlib
+
+        prefix_id = hashlib.sha256(
+            np.ascontiguousarray(sys_encoded).tobytes()).hexdigest()[:16]
+
         # stateful: each emitted frame is vocoded exactly once (the windowed
         # StreamingVocoder fallback re-decodes a history window per chunk —
         # ~12x redundant vocoder FLOPs at chunk_frames=16)
@@ -337,6 +348,7 @@ class TTSEngine:
                 request_id=self._next_request_id, prompt=encoded,
                 max_new_tokens=max_new, temperature=req.temperature,
                 top_p=req.top_p,
+                prefix_id=prefix_id, prefix_len=prefix_len,
                 on_token=lambda rid, col: cols.put(col))
             self.scheduler.submit(slot_req)
 

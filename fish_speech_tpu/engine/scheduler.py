@@ -36,6 +36,37 @@ from ..models.dual_ar import KVCache, param_dtype, precompute_freqs_cis
 from ..ops.sampling import RAS_WIN_SIZE, push_window
 
 
+def _slot_axis(leaf_name: str, pos_major: bool) -> int:
+    """Batch axis of a KVCache leaf: pos-major k/v are (L, S, B, H, D)."""
+    return 2 if (pos_major and leaf_name in ("k", "v")) else 1
+
+
+def slice_slot_cache(cache: KVCache, slot, pos_major: bool) -> KVCache:
+    """One slot's (B=1) view of the stacked cache, layout-aware."""
+    def sl(a, name):
+        if a is None:
+            return None
+        return jax.lax.dynamic_slice_in_dim(a, slot, 1,
+                                            axis=_slot_axis(name, pos_major))
+
+    return KVCache(sl(cache.k, "k"), sl(cache.v, "v"),
+                   sl(cache.ks, "ks"), sl(cache.vs, "vs"))
+
+
+def write_slot_cache(cache: KVCache, view: KVCache, slot,
+                     pos_major: bool) -> KVCache:
+    def wr(full, part, name):
+        if full is None:
+            return None
+        axis = _slot_axis(name, pos_major)
+        starts = [0] * full.ndim
+        starts[axis] = slot
+        return jax.lax.dynamic_update_slice(full, part, tuple(starts))
+
+    return KVCache(wr(cache.k, view.k, "k"), wr(cache.v, view.v, "v"),
+                   wr(cache.ks, view.ks, "ks"), wr(cache.vs, view.vs, "vs"))
+
+
 @dataclass
 class SlotRequest:
     request_id: int
@@ -44,6 +75,14 @@ class SlotRequest:
     temperature: float = 0.7
     top_p: float = 0.7
     on_token: Callable | None = None   # streaming hook: (request_id, column)
+    # prefix caching: the first `prefix_len` prompt columns are a shared,
+    # immutable prefix (e.g. the voice-clone system prompt). Requests with
+    # the same `prefix_id` MUST share those exact columns; the scheduler
+    # prefills them once and copies the cached KV rows on later assigns
+    # (the reference's serving story gets this from SGLang's radix prefix
+    # cache, ref README.md:133).
+    prefix_id: str | None = None
+    prefix_len: int = 0
     result: list = field(default_factory=list)
     done: threading.Event = field(default_factory=threading.Event)
     error: Exception | None = None
@@ -104,11 +143,26 @@ class ContinuousBatcher:
                 and cfg.semantic_end_id is not None):
             self.support = (cfg.semantic_begin_id, cfg.semantic_end_id,
                             im_end_id)
+        self.rebuild_programs()
+        # prefix KV cache: prefix_id -> (1-slot KVCache of length Tp_bucket,
+        # Tp, token-hash). LRU-bounded; hits copy cached rows instead of
+        # re-prefilling the shared system prompt.
+        from collections import OrderedDict
+
+        self.prefix_store: "OrderedDict[str, tuple]" = OrderedDict()
+        self.prefix_store_cap = 8
+        self.prefix_hits = 0
+        self.prefix_misses = 0
+
+    # ------------------------------------------------------------------
+    def rebuild_programs(self) -> None:
+        """(Re)trace the jitted programs — call after mutating greedy/top_k."""
         self._tick_fn = self._build_tick()
         self._tick_chunk_fn = self._build_tick_chunk()
         self._prefill_fn = self._build_prefill()
+        self._prefix_prefill_fn = self._build_prefix_prefill()
+        self._suffix_prefill_fn = self._build_suffix_prefill()
 
-    # ------------------------------------------------------------------
     def _build_tick(self):
         cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
 
@@ -171,18 +225,12 @@ class ContinuousBatcher:
 
     def _build_prefill(self):
         cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
+        pos_major = cfg.kv_cache_layout == "pos"
 
         @partial(jax.jit, static_argnames=("t",), donate_argnums=(1,))
         def prefill(params, cache, prompt, slot, start_offset, key,
                     bias, sampling, t):
-            def slice_slot(a):
-                if a is None:
-                    return None
-                starts = (0, slot) + (0,) * (a.ndim - 2)
-                sizes = (a.shape[0], 1) + a.shape[2:]
-                return jax.lax.dynamic_slice(a, starts, sizes)
-
-            sub = jax.tree.map(slice_slot, cache)
+            sub = slice_slot_cache(cache, slot, pos_major)
             rope_pos = jnp.maximum(
                 jnp.arange(t, dtype=jnp.int32)[None, :] - start_offset, 0)
             col, new_sub = decode_one_token(
@@ -191,18 +239,170 @@ class ContinuousBatcher:
                 top_k=top_k, greedy=greedy, rope_positions=rope_pos,
                 key_valid_from=start_offset[None] if start_offset.ndim == 0
                 else start_offset, sample_support=self.support)
-
-            def write_slot(full, part):
-                starts = (0, slot) + (0,) * (full.ndim - 2)
-                return jax.lax.dynamic_update_slice(full, part, starts)
-
-            cache = jax.tree.map(write_slot, cache, new_sub)
+            cache = write_slot_cache(cache, new_sub, slot, pos_major)
             return cache, col[0]
 
         return prefill
 
+    def _build_prefix_prefill(self):
+        """Prefill a RIGHT-padded prefix block into a fresh 1-slot cache of
+        length Tp_bucket. KV rows are position-independent (relative RoPE:
+        rope position == row-relative index), so the cached rows can later be
+        copied into any slot at any offset; the pad tail rows are garbage
+        that the suffix block / decode writes overwrite before any read."""
+        cfg = self.cfg
+
+        @partial(jax.jit, static_argnames=("t",))
+        def prefix_prefill(params, block, t):
+            from ..models.dual_ar import forward_generate
+
+            dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
+                     else param_dtype(params))
+            cache = KVCache.create(cfg.n_layer, 1, t, cfg.n_local_heads,
+                                   cfg.head_dim, dtype,
+                                   pos_major=cfg.kv_cache_layout == "pos")
+            rope_pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+            out = forward_generate(params, cfg, block, cache, jnp.int32(0),
+                                   self.freqs[:t], rope_positions=rope_pos,
+                                   key_valid_from=jnp.zeros((1,), jnp.int32),
+                                   logit_support=self.support)
+            return out.cache
+
+        return prefix_prefill
+
+    def _build_suffix_prefill(self):
+        """Copy cached prefix rows into a slot, then prefill the RIGHT-padded
+        suffix block at positions [Tp, Tp+SB) and sample at the last REAL
+        column (t_sfx-1). Pad rows land exactly where decode writes next, so
+        they are overwritten before ever being read (causal mask: queries at
+        position p only see keys <= p). Prefix-cached slots use start=0 (no
+        left pad)."""
+        cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
+        pos_major = cfg.kv_cache_layout == "pos"
+        ns = cfg.tp_shards
+
+        def copy_prefix(view: KVCache, pre: KVCache) -> KVCache:
+            tpb = pre.k.shape[1] if pos_major else pre.k.shape[3]
+            if pos_major:
+                k = view.k.at[:, :tpb].set(pre.k)
+                v = view.v.at[:, :tpb].set(pre.v)
+                if view.ks is None:
+                    return KVCache(k, v)
+                # shard-blocked flat scales: per shard j, the prefix's whole
+                # j-th block maps to the head of the slot's j-th block
+                hl = cfg.n_local_heads // ns
+                span = view.ks.shape[2] // ns
+                span_p = tpb * hl
+                ks, vs = view.ks, view.vs
+                for j in range(ns):
+                    src = slice(j * span_p, (j + 1) * span_p)
+                    ks = ks.at[:, :, j * span:j * span + span_p].set(
+                        pre.ks[:, :, src])
+                    vs = vs.at[:, :, j * span:j * span + span_p].set(
+                        pre.vs[:, :, src])
+                return KVCache(k, v, ks, vs)
+            k = view.k.at[:, :, :, :tpb].set(pre.k)
+            v = view.v.at[:, :, :, :tpb].set(pre.v)
+            if view.ks is None:
+                return KVCache(k, v)
+            ks = view.ks.at[:, :, :, :tpb].set(pre.ks)
+            vs = view.vs.at[:, :, :, :tpb].set(pre.vs)
+            return KVCache(k, v, ks, vs)
+
+        @partial(jax.jit, static_argnames=("sb",), donate_argnums=(1,))
+        def suffix_prefill(params, cache, prefix_cache, block, slot, tp,
+                           t_sfx, key, bias, sampling, sb):
+            view = slice_slot_cache(cache, slot, pos_major)
+            view = copy_prefix(view, prefix_cache)
+            rope_pos = tp + jnp.arange(sb, dtype=jnp.int32)[None, :]
+            col, new_view = decode_one_token(
+                params, cfg, block, view, tp,
+                self.freqs, self.fast_freqs, bias, key, sampling, None,
+                top_k=top_k, greedy=greedy, rope_positions=rope_pos,
+                key_valid_from=jnp.zeros((1,), jnp.int32),
+                sample_support=self.support, sample_at=t_sfx - 1)
+            cache = write_slot_cache(cache, new_view, slot, pos_major)
+            return cache, col[0]
+
+        return suffix_prefill
+
+    # ------------------------------------------------------------------
+    def _bucket(self, t: int) -> int:
+        return min(max(self.prompt_bucket,
+                       -(-t // self.prompt_bucket) * self.prompt_bucket),
+                   self.cache_len)
+
+    def _get_prefix_entry(self, req: SlotRequest):
+        """Cached (1-slot KVCache, Tp) for req's prefix, computing on miss."""
+        tp = req.prefix_len
+        prefix_tokens = np.ascontiguousarray(req.prompt[:, :tp])
+        import hashlib
+
+        th = hashlib.sha256(prefix_tokens.tobytes()).hexdigest()[:16]
+        entry = self.prefix_store.get(req.prefix_id)
+        if entry is not None and entry[1] == tp and entry[2] == th:
+            self.prefix_store.move_to_end(req.prefix_id)
+            self.prefix_hits += 1
+            return entry[0], tp
+        self.prefix_misses += 1
+        tpb = self._bucket(tp)
+        block = np.zeros((req.prompt.shape[0], tpb), np.int32)
+        block[:, :tp] = prefix_tokens  # RIGHT padding
+        pre = self._prefix_prefill_fn(self.params, jnp.asarray(block)[None],
+                                      tpb)
+        self.prefix_store[req.prefix_id] = (pre, tp, th)
+        while len(self.prefix_store) > self.prefix_store_cap:
+            self.prefix_store.popitem(last=False)
+        return pre, tp
+
+    def _assign_with_prefix(self, req: SlotRequest, slot: int) -> bool:
+        """Prefix-cached assign; returns False to fall back to full prefill."""
+        tp = req.prefix_len
+        t_total = req.prompt.shape[1]
+        t_sfx = t_total - tp
+        if req.prefix_id is None or tp <= 0 or t_sfx < 1:
+            return False
+        sb = self._bucket(t_sfx)
+        if tp + sb > self.cache_len or self._bucket(tp) > self.cache_len:
+            return False  # no room for the padded layout; full prefill
+        pre, _ = self._get_prefix_entry(req)
+
+        block = np.zeros((req.prompt.shape[0], sb), np.int32)
+        block[:, :t_sfx] = req.prompt[:, tp:]  # RIGHT padding
+        self.temp = self.temp.at[slot].set(req.temperature)
+        self.top_p = self.top_p.at[slot].set(req.top_p)
+        self.key, sub = jax.random.split(self.key)
+        self.cache, col = self._suffix_prefill_fn(
+            self.params, self.cache, pre, jnp.asarray(block)[None],
+            jnp.int32(slot), jnp.int32(tp), jnp.int32(t_sfx), sub, self.bias,
+            SamplingConfig(jnp.float32(req.temperature),
+                           jnp.float32(req.top_p)), sb)
+
+        end = tp + t_sfx
+        self.cur = self.cur.at[slot].set(col)
+        self.pos = self.pos.at[slot].set(end)
+        self.start = self.start.at[slot].set(0)
+        self.prev_win = self.prev_win.at[slot].set(
+            jnp.zeros(RAS_WIN_SIZE, jnp.int32).at[-1].set(col[0]))
+        self.active = self.active.at[slot].set(True)
+        self.active_h[slot] = True
+        self.slot_req[slot] = req
+        self.slot_budget[slot] = min(req.max_new_tokens,
+                                     self.cache_len - end) - 1
+
+        first = np.asarray(col)
+        if first[0] == self.im_end_id:
+            self._finish_slot(slot, emit_last=False)
+        else:
+            req.result.append(first)
+            if req.on_token:
+                req.on_token(req.request_id, first)
+        return True
+
     # ------------------------------------------------------------------
     def _assign(self, req: SlotRequest, slot: int):
+        if self._assign_with_prefix(req, slot):
+            return
         t_real = req.prompt.shape[1]
         bucket = min(max(self.prompt_bucket,
                          -(-t_real // self.prompt_bucket) * self.prompt_bucket),

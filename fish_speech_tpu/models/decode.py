@@ -73,7 +73,8 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
                      prev_window: jax.Array | None, *, top_k: int,
                      greedy: bool, rope_positions: jax.Array | None = None,
                      key_valid_from: jax.Array | None = None,
-                     sample_support: tuple | None = None):
+                     sample_support: tuple | None = None,
+                     sample_at: jax.Array | None = None):
     """One full Dual-AR step (ref inference.py:96-181).
 
     x: (B, K+1, T) — prompt on prefill (T>1) or last column (T=1).
@@ -82,24 +83,35 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
     the full vocab with -inf outside; 37x less logits work on the 4B model).
     The caller must guarantee `bias` is -inf outside the support (the
     standard semantic_logit_bias is).
+    sample_at: optional traced column index to sample from instead of the
+    last column (prefix-cached suffix prefill right-pads the block, so the
+    last REAL column sits at a dynamic position).
     Returns (column (B, K+1) int32, new_cache).
     """
     b = x.shape[0]
     out = forward_generate(params, cfg, x, cache, input_pos, freqs_table,
                            rope_positions=rope_positions,
                            key_valid_from=key_valid_from,
-                           logit_support=sample_support)
+                           logit_support=sample_support,
+                           last_only=sample_at is None)
+    if sample_at is None:
+        logits_col = out.logits[:, -1, :]
+        hidden = out.hidden[:, -1, :]
+    else:
+        logits_col = jax.lax.dynamic_index_in_dim(out.logits, sample_at, 1,
+                                                  keepdims=False)
+        hidden = jax.lax.dynamic_index_in_dim(out.hidden, sample_at, 1,
+                                              keepdims=False)
     if sample_support is not None:
         sb, se, im = sample_support
         bias_r = jnp.concatenate([bias[sb:se + 1], bias[im:im + 1]])
-        logits = out.logits[:, -1, :].astype(jnp.float32) + bias_r
+        logits = logits_col.astype(jnp.float32) + bias_r
         n_sem = se - sb + 1
         unmap = lambda t: jnp.where(t == n_sem, jnp.int32(im),
                                     t + jnp.int32(sb)).astype(jnp.int32)
     else:
-        logits = out.logits[:, -1, :].astype(jnp.float32) + bias  # (B, V)
+        logits = logits_col.astype(jnp.float32) + bias  # (B, V)
         unmap = lambda t: t
-    hidden = out.hidden[:, -1, :]
 
     k_norm, k_fast = jax.random.split(key, 2)
     if prev_window is not None and not greedy:

@@ -137,8 +137,7 @@ def test_stream_tts_matches_batch_decode():
     engine = TTSEngine(params, cfg, tok, codec_params=cparams, codec_cfg=ccfg,
                        cache_len=256, scheduler_slots=1)
     engine.scheduler.batcher.greedy = True
-    engine.scheduler.batcher._tick_fn = engine.scheduler.batcher._build_tick()
-    engine.scheduler.batcher._prefill_fn = engine.scheduler.batcher._build_prefill()
+    engine.scheduler.batcher.rebuild_programs()
     try:
         req = GenerateLongRequest(text="hello stream", max_new_tokens=12, seed=3)
         chunks = list(engine.stream_tts(req, chunk_frames=4))
