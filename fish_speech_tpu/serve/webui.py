@@ -1,6 +1,12 @@
 """Self-contained web UI served at /ui (mirrors the reference's SPA mount,
 tools/server/views.py:54-72 — here a single dependency-free HTML page that
-drives the same /v1 API)."""
+drives the same /v1 API).
+
+Feature parity with the reference Gradio UI (tools/webui/__init__.py:59-146):
+text, chunk length, max-new-tokens, top-p, repetition penalty (accepted for
+API compatibility — v2 sampling replaced it with RAS, see ops/sampling.py),
+temperature, seed, saved references, inline reference-audio upload with
+reference text, and saving uploads as named references."""
 
 WEBUI_HTML = """<!doctype html>
 <html lang="en">
@@ -35,11 +41,53 @@ WEBUI_HTML = """<!doctype html>
   <label>max new tokens <input id="maxnew" type="number" value="1024"></label>
   <label>top-p <input id="topp" type="number" value="0.8" step="0.05" min="0.1" max="1.0"></label>
   <label>temperature <input id="temp" type="number" value="0.8" step="0.05" min="0.1" max="1.0"></label>
+  <label>repetition penalty <input id="reppen" type="number" value="1.1" step="0.05" min="0.9" max="2.0"></label>
   <label>seed <input id="seed" type="number" value="42"></label>
   <label>reference <select id="ref"><option value="">none</option></select></label>
 </div>
+<details>
+  <summary style="color:#9ab;cursor:pointer">voice cloning (reference audio)</summary>
+  <div class="row">
+    <label>reference audio <input id="refaudio" type="file" accept="audio/*" style="width:14rem"></label>
+    <label style="flex:1;min-width:14rem">reference text
+      <input id="reftext" type="text" style="width:100%" placeholder="transcript of the reference audio"></label>
+  </div>
+  <div class="row">
+    <label>save as id <input id="refid" type="text" placeholder="my-voice"></label>
+    <button id="saveref" style="align-self:flex-end;background:#374151">Save reference</button>
+    <span id="refstatus" style="align-self:flex-end;color:#9ab"></span>
+  </div>
+</details>
 <button id="go">Synthesize</button><span id="status"></span>
 <audio id="player" controls></audio>
+<script>
+async function fileToB64(f) {
+  const buf = await f.arrayBuffer();
+  let s = '';
+  const bytes = new Uint8Array(buf);
+  for (let i = 0; i < bytes.length; i += 0x8000)
+    s += String.fromCharCode.apply(null, bytes.subarray(i, i + 0x8000));
+  return btoa(s);
+}
+document.getElementById('saveref').onclick = async () => {
+  const st = document.getElementById('refstatus');
+  const f = document.getElementById('refaudio').files[0];
+  const id = document.getElementById('refid').value.trim();
+  const text = document.getElementById('reftext').value.trim();
+  if (!f || !id || !text) { st.textContent = 'need audio + id + text'; return; }
+  st.textContent = 'saving…';
+  try {
+    const r = await fetch('/v1/references/add', { method: 'POST',
+      headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify({id, text, audio: await fileToB64(f)})});
+    if (!r.ok) throw new Error(await r.text());
+    st.textContent = 'saved';
+    const sel = document.getElementById('ref');
+    const o = document.createElement('option');
+    o.value = id; o.textContent = id; sel.appendChild(o); sel.value = id;
+  } catch (e) { st.textContent = 'error: ' + e.message.slice(0, 120); }
+};
+</script>
 <script>
 async function loadRefs() {
   try {
@@ -63,11 +111,16 @@ document.getElementById('go').onclick = async () => {
     max_new_tokens: +document.getElementById('maxnew').value,
     top_p: +document.getElementById('topp').value,
     temperature: +document.getElementById('temp').value,
+    repetition_penalty: +document.getElementById('reppen').value,
     seed: +document.getElementById('seed').value,
     format: 'wav',
   };
   const ref = document.getElementById('ref').value;
+  const refFile = document.getElementById('refaudio').files[0];
+  const refText = document.getElementById('reftext').value.trim();
   if (ref) body.reference_id = ref;
+  else if (refFile && refText)
+    body.references = [{audio: await fileToB64(refFile), text: refText}];
   try {
     const r = await fetch('/v1/tts', { method: 'POST',
       headers: {'Content-Type': 'application/json'}, body: JSON.stringify(body)});

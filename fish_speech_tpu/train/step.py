@@ -40,6 +40,25 @@ def _masked_ce(logits: jax.Array, labels: jax.Array, mask: jax.Array):
     return jnp.sum(jnp.where(mask, nll, 0.0)) / denom
 
 
+def get_batch_logps(logits: jax.Array, labels: jax.Array,
+                    average_log_prob: bool = False) -> jax.Array:
+    """Per-sequence label log-probabilities (DPO-style preference scoring;
+    ref lit_module.py:76-107). logits (B, T, K, V); labels (B, T, K) with
+    -100 ignored. Returns (B,) sum (or mean) of per-token log-probs."""
+    assert logits.shape[:-1] == labels.shape
+    loss_mask = labels != -100
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    per_token = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    per_token = jnp.where(loss_mask, per_token, 0.0)
+    flat = per_token.reshape(per_token.shape[0], -1)
+    fmask = loss_mask.reshape(loss_mask.shape[0], -1)
+    total = jnp.sum(flat, axis=-1)
+    if average_log_prob:
+        return total / jnp.maximum(jnp.sum(fmask, axis=-1), 1)
+    return total
+
+
 def dual_ar_loss(params: dict, cfg: DualARConfig, batch: TrainBatch,
                  remat: bool = True):
     out = forward_train(params, cfg, batch.inputs, labels=batch.labels,

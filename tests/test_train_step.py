@@ -69,3 +69,36 @@ def test_remat_matches_no_remat():
     l1, _ = dual_ar_loss(params, cfg, batch, remat=False)
     l2, _ = dual_ar_loss(params, cfg, batch, remat=True)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_get_batch_logps_matches_torch():
+    """DPO-style per-sequence log-probs (ref lit_module.py:76-107) vs a
+    torch implementation of the same math."""
+    import torch
+
+    from fish_speech_tpu.train.step import get_batch_logps
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 1, (2, 5, 3, 11)).astype(np.float32)
+    labels = rng.integers(0, 11, (2, 5, 3)).astype(np.int64)
+    labels[0, 1, :] = -100
+    labels[1, :, 2] = -100
+
+    tl = torch.from_numpy(logits)
+    tlab = torch.from_numpy(labels.copy())
+    mask = tlab != -100
+    tlab2 = tlab.clone()
+    tlab2[tlab2 == -100] = 0
+    per_tok = torch.gather(tl.log_softmax(-1), dim=-1,
+                           index=tlab2.unsqueeze(-1)).squeeze(-1)
+    ref_sum = (per_tok * mask).reshape(2, -1).sum(-1).numpy()
+    ref_avg = ((per_tok * mask).reshape(2, -1).sum(-1)
+               / mask.reshape(2, -1).sum(-1)).numpy()
+
+    got_sum = np.asarray(get_batch_logps(jnp.asarray(logits),
+                                         jnp.asarray(labels)))
+    got_avg = np.asarray(get_batch_logps(jnp.asarray(logits),
+                                         jnp.asarray(labels),
+                                         average_log_prob=True))
+    np.testing.assert_allclose(got_sum, ref_sum, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_avg, ref_avg, rtol=1e-5, atol=1e-5)
