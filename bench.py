@@ -186,7 +186,10 @@ def measure_lm(params, cfg, bias, kv_dtype, support, *, batch: int,
         key, sub = jax.random.split(key)
         cache, cur, prev_win = run_chunk(params, cache, cur, prev_win, pos, sub)
         pos = pos + steps_per_call
-    jax.block_until_ready(cur)
+    # host-fetch a value that depends on every dispatched step: on the
+    # remote axon runtime block_until_ready can return before execution
+    # finishes, but a host transfer cannot
+    _ = int(jax.device_get(cur[0, 0, 0]))
     dt = time.perf_counter() - t0
 
     del cache
@@ -225,18 +228,26 @@ def measure_vocoder(on_tpu: bool, *, warmup: int = 1, iters: int = 3) -> float:
     n_q = ccfg.rvq.total_codebooks
     codes = jax.random.randint(jax.random.key(3), (bv, n_q, tv), 0,
                                ccfg.rvq.codebook_size, dtype=jnp.int32)
-    fn = jax.jit(lambda p, c: dac_from_indices(p, ccfg, c))
+    # fold the previous call's output back into the next input (a data
+    # dependency chains the iterations) and reduce to ONE host scalar: on
+    # the remote axon runtime block_until_ready can return before the
+    # execution finishes, but a host transfer cannot
+    fn = jax.jit(lambda p, c, prev: (
+        lambda w: (w, jnp.max(jnp.abs(w))))(dac_from_indices(
+            p, ccfg, (c + (prev > 2.0).astype(jnp.int32)[None, None, None])
+            % ccfg.rvq.codebook_size)))
 
     t_compile = time.perf_counter()
+    prev = jnp.float32(0)
     for _ in range(warmup):
-        wav = fn(cparams, codes)
-    jax.block_until_ready(wav)
+        wav, prev = fn(cparams, codes, prev)
+    _ = float(jax.device_get(prev))
     compile_s = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        wav = fn(cparams, codes)
-    jax.block_until_ready(wav)
+        wav, prev = fn(cparams, codes, prev)
+    _ = float(jax.device_get(prev))
     dt = time.perf_counter() - t0
 
     del cparams
