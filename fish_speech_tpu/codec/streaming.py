@@ -315,17 +315,34 @@ class StatefulVocoder:
         tcfg = cfg.rvq.pre_post_transformer
         self._freqs = precompute_freqs_cis(max_frames, tcfg.head_dim,
                                            tcfg.rope_base)
+        self.max_frames = max_frames
         self._step = jax.jit(
             lambda p, st, c: vocoder_stream_step(p, cfg, st, c, self._freqs))
         self.state = init_vocoder_state(params, cfg, batch=batch)
         self._pending: np.ndarray | None = None
+        self._fed_frames = 0
+        self._finished = False
 
     def feed(self, codes: np.ndarray | None = None,
              final: bool = False) -> Iterator[np.ndarray]:
         """Append (K+1, t) codes (or None); yield ready audio chunks
         (1-D float arrays of chunk_frames*frame_length samples; the final
         chunk may be shorter)."""
+        if self._finished:
+            raise RuntimeError(
+                "StatefulVocoder was flushed with final=True (carried state "
+                "advanced through tail padding); call reset() before feeding "
+                "a new stream.")
         if codes is not None and codes.shape[1] > 0:
+            self._fed_frames += codes.shape[1]
+            if self._fed_frames > self.max_frames:
+                # the RoPE table is max_frames long; dynamic_slice would
+                # silently clamp and corrupt positions past it
+                raise ValueError(
+                    f"stream exceeds max_frames={self.max_frames} "
+                    f"(~{self.max_frames / self.cfg.frame_rate:.0f}s of "
+                    "audio); construct StatefulVocoder with a larger "
+                    "max_frames or reset() between utterances.")
             codes = np.asarray(codes, dtype=np.int32)
             self._pending = (codes if self._pending is None else
                              np.concatenate([self._pending, codes], axis=1))
@@ -338,11 +355,14 @@ class StatefulVocoder:
                              if take < self._pending.shape[1] else None)
             if take < self.chunk:
                 # final ragged tail: right-pad with zero codes (causality:
-                # the pad cannot affect earlier samples) and trim the wav
+                # the pad cannot affect earlier samples) and trim the wav.
+                # Carried state has now advanced through the padding, so the
+                # stream is finished — further feed() raises until reset().
                 pad = np.zeros((block.shape[0], self.chunk - take), np.int32)
                 wav, self.state = self._step(
                     self.params, self.state,
                     jnp.asarray(np.concatenate([block, pad], axis=1))[None])
+                self._finished = True
                 yield np.asarray(wav[0])[: take * self.cfg.frame_length]
             else:
                 wav, self.state = self._step(self.params, self.state,
@@ -353,6 +373,8 @@ class StatefulVocoder:
         self.state = init_vocoder_state(self.params, self.cfg,
                                         batch=self.batch)
         self._pending = None
+        self._fed_frames = 0
+        self._finished = False
 
 
 class StreamingVocoder:

@@ -44,7 +44,13 @@ def get_batch_logps(logits: jax.Array, labels: jax.Array,
                     average_log_prob: bool = False) -> jax.Array:
     """Per-sequence label log-probabilities (DPO-style preference scoring;
     ref lit_module.py:76-107). logits (B, T, K, V); labels (B, T, K) with
-    -100 ignored. Returns (B,) sum (or mean) of per-token log-probs."""
+    -100 ignored. Returns (B,) sum (or mean) of per-token log-probs.
+
+    Intentional divergence from the reference: lit_module.py's code sums
+    only the LAST axis and returns (B, T), contradicting its own docstring
+    (which promises per-sequence (B,) scores — the shape a standard DPO
+    loss consumes). We implement the documented (B,) contract; a port of
+    the reference's DPO loss must not assume drop-in shape parity."""
     assert logits.shape[:-1] == labels.shape
     loss_mask = labels != -100
     safe = jnp.maximum(labels, 0)

@@ -99,3 +99,22 @@ def test_stateful_streaming_long_past_window():
     streamed = np.concatenate(list(sv.feed(codes, final=True)))
     assert streamed.shape == full.shape
     np.testing.assert_allclose(streamed, full, atol=1e-5, rtol=1e-5)
+
+
+def test_stateful_guards():
+    """final=True flush poisons carried state -> feed raises until reset;
+    exceeding the RoPE table (max_frames) raises instead of silently
+    clamping positions (stream_tts reuses one vocoder across segments)."""
+    import pytest
+    from fish_speech_tpu.codec.streaming import StatefulVocoder
+
+    cfg = tiny_codec_config()
+    params = init_dac_params(jax.random.key(3), cfg)
+    sv = StatefulVocoder(params, cfg, chunk_frames=8, max_frames=32)
+    list(sv.feed(_codes(cfg, 5), final=True))  # ragged tail -> padded flush
+    with pytest.raises(RuntimeError):
+        list(sv.feed(_codes(cfg, 8)))
+    sv.reset()
+    list(sv.feed(_codes(cfg, 24)))  # fine after reset
+    with pytest.raises(ValueError):
+        list(sv.feed(_codes(cfg, 16)))  # 24+16 > max_frames=32

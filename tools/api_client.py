@@ -135,7 +135,10 @@ def main():
                   "saving only", file=sys.stderr)
             player = None
 
-    wav_header_skipped = args.format != "wav"  # strip header before playback
+    # serve/wav.py prepends a 44-byte WAV header; strip it before playback.
+    # HTTP reads can legally return <44 bytes, so count consumed header bytes
+    # across chunks instead of slicing only the first read.
+    header_left = 44 if args.format == "wav" else 0
     with open(args.output, "wb") as f:
         while True:
             chunk = resp.read(65536)
@@ -143,10 +146,12 @@ def main():
                 break
             f.write(chunk)
             if player is not None:
-                if not wav_header_skipped:
-                    chunk = chunk[44:]  # serve/wav.py chunk header is 44 B
-                    wav_header_skipped = True
-                player.write(chunk)
+                if header_left:
+                    skip = min(header_left, len(chunk))
+                    chunk = chunk[skip:]
+                    header_left -= skip
+                if chunk:
+                    player.write(chunk)
     if player is not None:
         player.close()
     print(f"saved {args.output} ({args.output.stat().st_size} bytes)")
