@@ -93,7 +93,8 @@ class ContinuousBatcher:
                  cache_len: int, im_end_id: int, bias: jax.Array,
                  sampling: SamplingConfig | None = None, top_k: int = 30,
                  greedy: bool = False, seed: int = 0,
-                 prompt_bucket: int = 128):
+                 prompt_bucket: int = 128,
+                 prefill_chunk: int | None = None):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -104,6 +105,13 @@ class ContinuousBatcher:
         self.top_k = top_k
         self.greedy = greedy
         self.prompt_bucket = prompt_bucket
+        # chunked prefill: prompts longer than `prefill_chunk` are prefilled
+        # one fixed-size chunk per prefill_tick(), interleaved with decode
+        # ticks, so a cold long prompt never stalls active slots for more
+        # than one chunk's dispatch (None disables; ref has no equivalent —
+        # SGLang's chunked prefill plays this role in the reference stack)
+        self.prefill_chunk = prefill_chunk
+        self._inflight: list[dict] = []  # FIFO of chunked assigns
 
         import jax.numpy as _jnp
 
@@ -162,6 +170,7 @@ class ContinuousBatcher:
         self._prefill_fn = self._build_prefill()
         self._prefix_prefill_fn = self._build_prefix_prefill()
         self._suffix_prefill_fn = self._build_suffix_prefill()
+        self._chunk_prefill_fn = self._build_chunk_prefill()
 
     def _build_tick(self):
         cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
@@ -326,6 +335,31 @@ class ContinuousBatcher:
 
         return suffix_prefill
 
+    def _build_chunk_prefill(self):
+        """Prefill ONE fixed-size chunk of a long prompt into a slot at
+        positions [t0, t0+cs). Queries attend to all previously-prefilled
+        cache rows of the slot (same block-at-offset machinery the prefix
+        path uses). The final chunk is right-padded and samples at the last
+        real column; non-final chunks discard the sampled column."""
+        cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
+        pos_major = cfg.kv_cache_layout == "pos"
+
+        @partial(jax.jit, static_argnames=("cs",), donate_argnums=(1,))
+        def chunk_prefill(params, cache, block, slot, t0, sample_at, key,
+                          bias, sampling, cs):
+            view = slice_slot_cache(cache, slot, pos_major)
+            rope_pos = t0 + jnp.arange(cs, dtype=jnp.int32)[None, :]
+            col, new_view = decode_one_token(
+                params, cfg, block, view, t0,
+                self.freqs, self.fast_freqs, bias, key, sampling, None,
+                top_k=top_k, greedy=greedy, rope_positions=rope_pos,
+                key_valid_from=jnp.zeros((1,), jnp.int32),
+                sample_support=self.support, sample_at=sample_at)
+            cache = write_slot_cache(cache, new_view, slot, pos_major)
+            return cache, col[0]
+
+        return chunk_prefill
+
     # ------------------------------------------------------------------
     def _bucket(self, t: int) -> int:
         return min(max(self.prompt_bucket,
@@ -378,10 +412,15 @@ class ContinuousBatcher:
             SamplingConfig(jnp.float32(req.temperature),
                            jnp.float32(req.top_p)), sb)
 
-        end = tp + t_sfx
+        self._activate_slot(req, slot, col, tp + t_sfx, 0)
+        return True
+
+    def _activate_slot(self, req: SlotRequest, slot: int, col, end: int,
+                       start: int) -> None:
+        """Shared assign tail: install decode state + emit the first column."""
         self.cur = self.cur.at[slot].set(col)
         self.pos = self.pos.at[slot].set(end)
-        self.start = self.start.at[slot].set(0)
+        self.start = self.start.at[slot].set(start)
         self.prev_win = self.prev_win.at[slot].set(
             jnp.zeros(RAS_WIN_SIZE, jnp.int32).at[-1].set(col[0]))
         self.active = self.active.at[slot].set(True)
@@ -389,7 +428,6 @@ class ContinuousBatcher:
         self.slot_req[slot] = req
         self.slot_budget[slot] = min(req.max_new_tokens,
                                      self.cache_len - end) - 1
-
         first = np.asarray(col)
         if first[0] == self.im_end_id:
             self._finish_slot(slot, emit_last=False)
@@ -397,11 +435,63 @@ class ContinuousBatcher:
             req.result.append(first)
             if req.on_token:
                 req.on_token(req.request_id, first)
+
+    def _start_chunked(self, req: SlotRequest, slot: int) -> bool:
+        """Reserve `slot` and queue the prompt as fixed-size prefill chunks
+        (advanced by prefill_tick, interleaved with decode ticks)."""
+        cs = self.prefill_chunk
+        t_total = req.prompt.shape[1]
+        if cs is None or t_total <= cs:
+            return False
+        n_chunks = -(-t_total // cs)
+        if n_chunks * cs > self.cache_len:
+            return False  # no room for the padded layout; monolithic path
+        blocks = np.zeros((n_chunks, req.prompt.shape[0], cs), np.int32)
+        padded = np.zeros((req.prompt.shape[0], n_chunks * cs), np.int32)
+        padded[:, :t_total] = req.prompt
+        for c in range(n_chunks):
+            blocks[c] = padded[:, c * cs:(c + 1) * cs]
+        self.slot_req[slot] = req  # reserve: free_slots() skips this slot
+        self._inflight.append({"req": req, "slot": slot, "blocks": blocks,
+                               "next": 0, "t_total": t_total})
         return True
+
+    def prefill_pending(self) -> bool:
+        return bool(self._inflight)
+
+    def prefill_tick(self) -> None:
+        """Dispatch ONE prefill chunk of the oldest in-flight long-prompt
+        assign. The final chunk samples and activates the slot."""
+        if not self._inflight:
+            return
+        inf = self._inflight[0]
+        cs = self.prefill_chunk
+        req, slot, c = inf["req"], inf["slot"], inf["next"]
+        n_chunks = inf["blocks"].shape[0]
+        final = c == n_chunks - 1
+        if final:
+            self.temp = self.temp.at[slot].set(req.temperature)
+            self.top_p = self.top_p.at[slot].set(req.top_p)
+            self.key, sub = jax.random.split(self.key)
+            sample_at = inf["t_total"] - 1 - c * cs
+        else:
+            sub = jax.random.key(0)  # column discarded; no RNG consumed
+            sample_at = cs - 1
+        self.cache, col = self._chunk_prefill_fn(
+            self.params, self.cache, jnp.asarray(inf["blocks"][c])[None],
+            jnp.int32(slot), jnp.int32(c * cs), jnp.int32(sample_at), sub,
+            self.bias, SamplingConfig(jnp.float32(req.temperature),
+                                      jnp.float32(req.top_p)), cs)
+        inf["next"] = c + 1
+        if final:
+            self._inflight.pop(0)
+            self._activate_slot(req, slot, col, inf["t_total"], 0)
 
     # ------------------------------------------------------------------
     def _assign(self, req: SlotRequest, slot: int):
         if self._assign_with_prefix(req, slot):
+            return
+        if self._start_chunked(req, slot):
             return
         t_real = req.prompt.shape[1]
         bucket = min(max(self.prompt_bucket,
@@ -422,24 +512,7 @@ class ContinuousBatcher:
             sub, self.bias, SamplingConfig(jnp.float32(req.temperature),
                                            jnp.float32(req.top_p)), bucket)
 
-        self.cur = self.cur.at[slot].set(col)
-        self.pos = self.pos.at[slot].set(bucket)
-        self.start = self.start.at[slot].set(start)
-        self.prev_win = self.prev_win.at[slot].set(
-            jnp.zeros(RAS_WIN_SIZE, jnp.int32).at[-1].set(col[0]))
-        self.active = self.active.at[slot].set(True)
-        self.active_h[slot] = True
-        self.slot_req[slot] = req
-        self.slot_budget[slot] = min(req.max_new_tokens,
-                                     self.cache_len - bucket) - 1
-
-        first = np.asarray(col)
-        if first[0] == self.im_end_id:
-            self._finish_slot(slot, emit_last=False)
-        else:
-            req.result.append(first)
-            if req.on_token:
-                req.on_token(req.request_id, first)
+        self._activate_slot(req, slot, col, bucket, start)
 
     def _finish_slot(self, slot: int, emit_last: bool):
         req = self.slot_req[slot]
@@ -528,13 +601,20 @@ class ContinuousBatcher:
             chunk_steps: int = 1) -> dict[int, np.ndarray]:
         """Convenience driver: schedule all requests, return codes per id."""
         pending = list(requests)
-        while pending or self.has_active():
+        while pending or self.has_active() or self.prefill_pending():
             for slot in self.free_slots():
                 if not pending:
                     break
                 self._assign(pending.pop(0), slot)
+            if self.prefill_pending():
+                # one chunk, then (below) one decode tick: active slots
+                # stall at most one chunk's dispatch per tick
+                self.prefill_tick()
             if self.has_active():
-                self.step_chunk(chunk_steps)
+                if self.prefill_pending():
+                    self.step()
+                else:
+                    self.step_chunk(chunk_steps)
         out = {}
         for req in requests:
             if req.result:
@@ -580,10 +660,17 @@ class SchedulerThread:
                 except Exception as e:
                     req.error = e
                     req.done.set()
+            if self.batcher.prefill_pending():
+                # one chunk of the in-flight long-prompt prefill, then one
+                # decode tick below — active slots never stall longer than
+                # a single chunk's dispatch
+                self.batcher.prefill_tick()
+                moved = True
             if self.batcher.has_active():
                 # chunk only while the queue is drained: pending prefills
                 # should not wait chunk_steps ticks for a free dispatch point
-                if self.chunk_steps > 1 and self.queue.empty():
+                if (self.chunk_steps > 1 and self.queue.empty()
+                        and not self.batcher.prefill_pending()):
                     self.batcher.step_chunk(self.chunk_steps)
                 else:
                     self.batcher.step()
