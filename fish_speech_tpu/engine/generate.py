@@ -201,6 +201,34 @@ class TTSEngine:
         wav = self._jit_vocoder(self.codec_params, jnp.asarray(padded)[None])
         return np.asarray(wav[0, : n * self.codec_cfg.frame_length])
 
+    def decode_codes_batch(self, codes_list: list[np.ndarray],
+                           micro_batch: int = 8) -> list[np.ndarray]:
+        """Vocode many (K+1, T_i) code sequences with pad-and-batch micro
+        batches of up to `micro_batch` per jitted dispatch (one program per
+        (batch, frame-bucket) instead of one dispatch per item — the
+        reference server micro-batches its VQGAN decodes the same way,
+        ref tools/server/model_utils.py:69-86)."""
+        from ..codec.model import dac_from_indices  # noqa: F401 (jit below)
+
+        assert self.codec_params is not None, "no codec attached"
+        fl = self.codec_cfg.frame_length
+        out: list[np.ndarray | None] = [None] * len(codes_list)
+        # process in submission order groups (padding to the group max keeps
+        # the pad waste bounded by the group's length spread)
+        for lo in range(0, len(codes_list), micro_batch):
+            group = codes_list[lo:lo + micro_batch]
+            lens = [c.shape[1] for c in group]
+            bucket = max(32, -(-max(lens) // 64) * 64)
+            padded = np.zeros((micro_batch, group[0].shape[0], bucket),
+                              np.int32)
+            for i, c in enumerate(group):
+                padded[i, :, : c.shape[1]] = c
+            wav = np.asarray(
+                self._jit_vocoder(self.codec_params, jnp.asarray(padded)))
+            for i, n in enumerate(lens):
+                out[lo + i] = wav[i, : n * fl]
+        return out  # type: ignore[return-value]
+
     # -- audio -> codes (voice-cloning prompt) -----------------------------
     def encode_reference(self, wav: np.ndarray) -> np.ndarray:
         from ..codec.model import dac_encode

@@ -20,7 +20,9 @@ round.
 from __future__ import annotations
 
 import asyncio
+import hashlib
 import json
+from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 
 import msgpack
@@ -78,6 +80,9 @@ class TTSApp:
         workers = 4 if getattr(engine, "scheduler", None) is not None else 1
         self.executor = ThreadPoolExecutor(max_workers=workers,
                                            thread_name_prefix="model-worker")
+        # /v1/vqgan/encode LRU (audio-bytes sha256 -> tokens)
+        self._encode_cache: "OrderedDict[str, list]" = OrderedDict()
+        self._encode_cache_cap = 32
 
     async def _run(self, fn, *args):
         loop = asyncio.get_running_loop()
@@ -120,10 +125,23 @@ class TTSApp:
         req = await _parse_body(request, ServeVQGANEncodeRequest)
 
         def work():
+            # LRU on the raw audio bytes: reference prompts are re-encoded
+            # on every request in naive serving; the reference server caches
+            # them the same way (ref tools/server/model_utils.py:51-66)
             tokens = []
             for audio in req.audios:
+                key = hashlib.sha256(audio).hexdigest()
+                hit = self._encode_cache.get(key)
+                if hit is not None:
+                    self._encode_cache.move_to_end(key)
+                    tokens.append(hit)
+                    continue
                 wav = decode_audio_bytes(audio, self.engine.codec_cfg.sample_rate)
-                tokens.append(self.engine.encode_reference(wav).tolist())
+                t = self.engine.encode_reference(wav).tolist()
+                self._encode_cache[key] = t
+                while len(self._encode_cache) > self._encode_cache_cap:
+                    self._encode_cache.popitem(last=False)
+                tokens.append(t)
             return tokens
 
         tokens = await self._run(work)
@@ -133,11 +151,11 @@ class TTSApp:
         req = await _parse_body(request, ServeVQGANDecodeRequest)
 
         def work():
-            audios = []
-            for codes in req.tokens:
-                wav = self.engine.decode_codes(np.asarray(codes, dtype=np.int32))
-                audios.append(np.asarray(wav, dtype=np.float16).tobytes())
-            return audios
+            # pad-and-batch up to 8 sequences per jitted vocoder dispatch
+            # (ref tools/server/model_utils.py:69-86 batch_vqgan_decode)
+            codes = [np.asarray(c, dtype=np.int32) for c in req.tokens]
+            wavs = self.engine.decode_codes_batch(codes)
+            return [np.asarray(w, dtype=np.float16).tobytes() for w in wavs]
 
         audios = await self._run(work)
         return _respond(request, {"audios": audios})

@@ -178,3 +178,63 @@ def test_audio_codecs_roundtrip():
     assert dec.shape == ref.shape
     corr = np.corrcoef(dec, ref)[0, 1]
     assert corr > 0.99, corr
+
+
+def test_vqgan_decode_batched(tmp_path):
+    """Multi-item /v1/vqgan/decode runs ONE padded batched vocoder dispatch
+    and each returned wav equals its single-item decode; /v1/vqgan/encode
+    LRU-caches repeated audio bytes."""
+    engine = _engine()
+    ccfg = engine.codec_cfg
+    rng = np.random.default_rng(0)
+    codes = [rng.integers(0, 16, size=(ccfg.rvq.total_codebooks, t))
+             .astype(np.int32) for t in (3, 5, 2)]
+    singles = [engine.decode_codes(c) for c in codes]
+
+    calls = []
+    orig = engine._jit_vocoder
+
+    def counting(p, c):
+        calls.append(tuple(c.shape))
+        return orig(p, c)
+
+    engine._jit_vocoder = counting
+    wavs = engine.decode_codes_batch(codes)
+    engine._jit_vocoder = orig
+    assert len(calls) == 1, calls            # one batched dispatch
+    assert calls[0][0] == 8                  # micro-batch padded to 8
+    for got, want in zip(wavs, singles):
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    app = create_app(engine, ref_dir=str(tmp_path / "refs"))
+
+    async def scenario():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/vqgan/decode", json={
+                "tokens": [c.tolist() for c in codes]})
+            assert r.status == 200
+            audios = (await r.json())["audios"]
+            assert len(audios) == 3
+
+            # encode LRU: same audio twice -> second hit skips the encoder
+            wav_bytes = encode_wav(
+                np.zeros(ccfg.frame_length * 4, np.float32), 44100)
+            payload = msgpack.packb({"audios": [wav_bytes]})
+            hdr = {"Content-Type": "application/msgpack"}
+            r1 = await client.post("/v1/vqgan/encode", data=payload, headers=hdr)
+            assert r1.status == 200
+            n_enc = [0]
+            orig_enc = engine.encode_reference
+            engine.encode_reference = lambda w: (
+                n_enc.__setitem__(0, n_enc[0] + 1) or orig_enc(w))
+            r2 = await client.post("/v1/vqgan/encode", data=payload, headers=hdr)
+            engine.encode_reference = orig_enc
+            assert r2.status == 200
+            assert n_enc[0] == 0             # served from the LRU
+            assert (await r1.json())["tokens"] == (await r2.json())["tokens"]
+        finally:
+            await client.close()
+
+    _run(scenario())
