@@ -699,8 +699,24 @@ def forward_generate_fast(params: dict, cfg: DualARConfig, x: jax.Array,
         if cfg.tp_shards > 1:
             # multi-chip: batch-split the sweep over the whole mesh with
             # replicated weights (parallel/tp.py)
-            from ..parallel.tp import fused_fast_sweep_tp
+            from ..parallel.tp import fused_fast_sweep_tp, get_decode_mesh
 
+            # the priming sweep's x is the slow-stack hidden, sharded
+            # (batch@data, dim@model); the sweep wants batch@(data,model).
+            # GSPMD cannot reshard {d,m}->{d*m,1} directly (it falls back to
+            # "involuntary full rematerialization" = replicate+slice, an
+            # all-gather of the whole activation every decode step). Stage
+            # it explicitly: gather dim over model (the only real
+            # collective), then the batch split is a free local slice.
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            mesh = get_decode_mesh()
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, _P(DATA_AXIS, None)))
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, _P((DATA_AXIS, MODEL_AXIS), None)))
             x, fast_cache = fused_fast_sweep_tp(
                 params["fast_packed"], x, fast_cache, fast_freqs_table,
                 pos=input_pos, n_head=cfg.fast_n_head, eps=cfg.norm_eps,
