@@ -1,0 +1,109 @@
+"""fastpath (conv-as-matmul vocoder) must match the reference-parity path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fish_speech_tpu.codec import init_dac_params, tiny_codec_config
+from fish_speech_tpu.codec.config import DACConfig, RVQConfig
+from fish_speech_tpu.codec import fastpath
+from fish_speech_tpu.codec.model import dac_from_indices, decoder
+from fish_speech_tpu.codec.nn import (
+    causal_conv1d,
+    causal_conv_transpose1d,
+    convnext_block,
+)
+
+
+def test_conv1d_mm_matches_lax():
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 37, 16))
+    for k, dil in [(1, 1), (7, 1), (7, 3), (7, 9), (3, 1)]:
+        w = jax.random.normal(jax.random.fold_in(key, 10 * k + dil), (k, 16, 24)) * 0.1
+        b = jax.random.normal(jax.random.fold_in(key, 100 + k), (24,)) * 0.1
+        ref = causal_conv1d(x, w, b, dilation=dil)
+        got = fastpath.conv1d_mm(x, w, b, dilation=dil)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_conv_transpose1d_mm_matches_lax():
+    key = jax.random.key(1)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 19, 12))
+    for s in (2, 4, 8):
+        w = jax.random.normal(jax.random.fold_in(key, s), (2 * s, 12, 10)) * 0.1
+        b = jax.random.normal(jax.random.fold_in(key, 50 + s), (10,)) * 0.1
+        ref = causal_conv_transpose1d(x, w, b, stride=s)
+        got = fastpath.conv_transpose1d_mm(x, w, b, stride=s)
+        assert got.shape == ref.shape == (2, 19 * s, 10)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_convnext_block_mm():
+    key = jax.random.key(2)
+    from fish_speech_tpu.codec.init import _Rng, _convnext_p
+
+    p = _convnext_p(_Rng(key), 16)
+    x = jax.random.normal(jax.random.fold_in(key, 9), (2, 23, 16))
+    ref = convnext_block(p, x)
+    got = fastpath.convnext_block_mm(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_full_decode_parity():
+    cfg = tiny_codec_config()
+    params = init_dac_params(jax.random.key(3), cfg)
+    codes = jax.random.randint(jax.random.key(4), (2, cfg.rvq.total_codebooks, 24),
+                               0, 32, dtype=jnp.int32)
+    ref = dac_from_indices(params, cfg, codes)
+    got = fastpath.dac_from_indices_mm(params, cfg, codes)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_full_decode_parity_s2pro_shapes():
+    """Parity on the real S2-Pro strides (8,8,4,2) with shrunken channels."""
+    import dataclasses
+
+    tp = dataclasses.replace(tiny_codec_config().rvq.pre_post_transformer,
+                             dim=16, intermediate_size=32, n_head=2,
+                             head_dim=8, n_local_heads=-1)
+    cfg = DACConfig(
+        encoder_dim=4,
+        encoder_rates=(2, 4, 8, 8),
+        decoder_dim=64,
+        decoder_rates=(8, 8, 4, 2),
+        encoder_transformer_layers=(0, 0, 0, 0),
+        latent_dim=16,  # == rvq input_dim (as in the real config)
+        rvq=RVQConfig(
+            input_dim=16, n_codebooks=2, codebook_size=32, codebook_dim=4,
+            semantic_codebook_size=64, downsample_factor=(2, 2),
+            pre_post_transformer=tp,
+        ),
+    )
+    params = init_dac_params(jax.random.key(5), cfg)
+    codes = jax.random.randint(jax.random.key(6), (1, cfg.rvq.total_codebooks, 12),
+                               0, 32, dtype=jnp.int32)
+    ref = dac_from_indices(params, cfg, codes)
+    got = fastpath.dac_from_indices_mm(params, cfg, codes)
+    assert got.shape == ref.shape == (1, 12 * cfg.frame_length)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_full_decode_parity_pallas():
+    """Pallas-fused decoder path matches the reference-parity conv path."""
+    cfg = tiny_codec_config()
+    params = init_dac_params(jax.random.key(7), cfg)
+    codes = jax.random.randint(jax.random.key(8),
+                               (2, cfg.rvq.total_codebooks, 16),
+                               0, 32, dtype=jnp.int32)
+    ref = dac_from_indices(params, cfg, codes)
+    got = fastpath.dac_from_indices_pallas(params, cfg, codes)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

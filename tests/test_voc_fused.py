@@ -1,0 +1,57 @@
+"""Fused vocoder residual-stack kernel vs the reference-parity conv path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fish_speech_tpu.codec.init import _Rng, _res_unit_p
+from fish_speech_tpu.codec.nn import residual_unit
+from fish_speech_tpu.ops.voc_fused import fused_res_stack, pack_res_stack
+
+_DILATIONS = (1, 3, 9)
+
+
+def _ref_stack(units, x, dilations=_DILATIONS):
+    for u, d in zip(units, dilations):
+        x = residual_unit(u, x, d)
+    return x
+
+
+def test_fused_res_stack_matches_reference():
+    c, tt, t, b = 16, 32, 96, 2
+    rng = _Rng(jax.random.key(0))
+    units = [_res_unit_p(rng, c) for _ in _DILATIONS]
+    x = jax.random.normal(jax.random.key(1), (b, t, c), jnp.float32)
+
+    ref = _ref_stack(units, x)
+    got = fused_res_stack(x, pack_res_stack(units, dtype=jnp.float32), tt=tt)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_res_stack_single_unit():
+    """n_units=1 path (the 768-channel stage runs one unit per call)."""
+    c, tt, t = 8, 16, 64
+    rng = _Rng(jax.random.key(2))
+    units = [_res_unit_p(rng, c)]
+    x = jax.random.normal(jax.random.key(3), (1, t, c), jnp.float32)
+    ref = _ref_stack(units, x, dilations=(3,))
+    got = fused_res_stack(x, pack_res_stack(units, dtype=jnp.float32),
+                          tt=tt, dilations=(3,))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_res_stack_tile_independence():
+    """Same result whatever the tile size (halo correctness)."""
+    c, t = 8, 128
+    rng = _Rng(jax.random.key(4))
+    units = [_res_unit_p(rng, c) for _ in _DILATIONS]
+    packed = pack_res_stack(units, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(5), (1, t, c), jnp.float32)
+    a = fused_res_stack(x, packed, tt=32)
+    bb = fused_res_stack(x, packed, tt=128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                               atol=1e-5, rtol=1e-5)
