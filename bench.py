@@ -45,7 +45,12 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 FRAME_RATE = 44100.0 / 2048.0          # ≈ 21.53 acoustic tokens/s
-BASELINE_AUDIO_S_PER_S = 1.0 / 0.195   # reference RTF on 1x H200
+# Apples-to-apples BATCHED baseline: the reference serves 3,000+ acoustic
+# tokens/s at RTF < 0.5 on one H200 via SGLang (reference README.md:137)
+# = 3000 / 21.53 ≈ 139.3 audio-seconds of speech per second per GPU.
+BASELINE_AUDIO_S_PER_S = 3000.0 / FRAME_RATE
+# Secondary: single-stream RTF 0.195 (README.md:134-135) = 5.13 audio-s/s.
+BASELINE_SINGLE_STREAM = 1.0 / 0.195
 
 
 def build_lm(on_tpu: bool):
@@ -202,29 +207,145 @@ def measure_lm(params, cfg, bias, kv_dtype, support, *, batch: int,
     return audio_s_per_s
 
 
-def measure_vocoder(on_tpu: bool, *, warmup: int = 1, iters: int = 3) -> float:
-    """Batched codes->waveform throughput (bf16 serving dtype) ->
-    audio_s/s/chip. The measured program is `dac_from_indices` — the exact
-    serving decode path (ref hot path modded_dac.py:760-801)."""
+def build_vocoder(on_tpu: bool):
+    """(ccfg, bf16 params, packed fused-kernel weights, decode_fn).
+
+    The decode path is the Pallas-fused decoder (codec/fastpath.py) unless
+    BENCH_VOC_IMPL=lax. Init and packing run under jit: eager init through
+    the remote TPU tunnel pays a per-op remote-compile round trip (minutes
+    for the full tree); jitted it is one dispatch."""
     from fish_speech_tpu.codec import init_dac_params
     from fish_speech_tpu.codec.config import (
         s2_pro_codec_config,
         tiny_codec_config,
     )
+    from fish_speech_tpu.codec.fastpath import dac_from_indices_pallas, pack_decoder
     from fish_speech_tpu.codec.model import dac_from_indices
 
+    ccfg = s2_pro_codec_config() if on_tpu else tiny_codec_config()
+    cparams = jax.jit(
+        lambda k: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            init_dac_params(k, ccfg)))(jax.random.key(2))
+    impl = os.environ.get("BENCH_VOC_IMPL", "pallas")
+    if impl == "lax":
+        print("# vocoder impl: lax conv", file=sys.stderr)
+        return ccfg, cparams, None, dac_from_indices
+    packed = jax.jit(lambda p: pack_decoder(p["decoder"], ccfg))(cparams)
+
+    def decode(p, cfg, codes):
+        return dac_from_indices_pallas(p, cfg, codes, packed=packed)
+
+    print("# vocoder impl: pallas fused decoder", file=sys.stderr)
+    return ccfg, cparams, packed, decode
+
+
+def measure_e2e(params, cfg, bias, kv_dtype, support, *, batch: int,
+                cache_len: int, steps_per_call: int, voc_frames: int,
+                warmup: int, iters: int) -> float | None:
+    """MEASURED end-to-end throughput: interleave one LM decode chunk
+    (batch x steps_per_call frames) with vocoding exactly that many frames,
+    in one timed loop on the chip — real dispatch gaps and serial occupancy
+    included (replaces the former 1/(1/lm+1/voc) arithmetic)."""
+    from functools import partial
+
+    from fish_speech_tpu.models.decode import SamplingConfig, decode_one_token
+    from fish_speech_tpu.models.dual_ar import KVCache, precompute_freqs_cis
+    from fish_speech_tpu.ops.sampling import RAS_WIN_SIZE, push_window
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    ccfg, cparams, packed, dac_decode = build_vocoder(on_tpu)
+    n_q = ccfg.rvq.total_codebooks
+    frames_per_chunk = batch * steps_per_call
+    tv = min(voc_frames, frames_per_chunk)
+    bv = frames_per_chunk // tv
+    assert bv * tv == frames_per_chunk, (batch, steps_per_call, tv)
+
+    sem_begin, sem_end, im_end = support
+    cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,
+                           cfg.head_dim, dtype=kv_dtype,
+                           pos_major=cfg.kv_cache_layout == "pos")
+    freqs = precompute_freqs_cis(cache_len, cfg.head_dim, cfg.rope_base)
+    fast_freqs = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
+                                      cfg.rope_base)
+    sampling = SamplingConfig.create(temperature=0.7, top_p=0.7)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def lm_chunk(params, cache, cur, prev_win, pos, key):
+        def body(i, carry):
+            cache, cur, prev_win, key = carry
+            key, sub = jax.random.split(key)
+            col, new_cache = decode_one_token(
+                params, cfg, cur, cache, pos + i, freqs,
+                fast_freqs, bias, sub, sampling, prev_win,
+                top_k=30, greedy=False,
+                sample_support=(sem_begin, sem_end, im_end))
+            return (new_cache, col[:, :, None],
+                    push_window(prev_win, col[:, 0]), key)
+
+        cache, cur, prev_win, key = jax.lax.fori_loop(
+            0, steps_per_call, body, (cache, cur, prev_win, key))
+        return cache, cur, prev_win
+
+    voc_fn = jax.jit(lambda p, c, prev: (
+        lambda w: jnp.max(jnp.abs(w)))(dac_decode(
+            p, ccfg, (c + prev.astype(jnp.int32)[None, None, None])
+            % ccfg.rvq.codebook_size)))
+
+    key = jax.random.key(1)
+    cur = jnp.zeros((batch, cfg.num_codebooks + 1, 1), jnp.int32)
+    prev_win = jnp.zeros((batch, RAS_WIN_SIZE), jnp.int32)
+    pos = jnp.int32(128)
+    codes = jax.random.randint(jax.random.key(3), (bv, n_q, tv), 0,
+                               ccfg.rvq.codebook_size, dtype=jnp.int32)
+
+    def one_iter(cache, cur, prev_win, pos, key, vprev):
+        key, sub = jax.random.split(key)
+        cache, cur, prev_win = lm_chunk(params, cache, cur, prev_win,
+                                        pos, sub)
+        # vocoder input depends on the LM chunk's output column: the two
+        # stages are serially chained exactly like serving
+        vprev = voc_fn(cparams, codes, vprev + cur[0, 0, 0])
+        return cache, cur, prev_win, pos + steps_per_call, key, vprev
+
+    t_compile = time.perf_counter()
+    vprev = jnp.int32(0)
+    for _ in range(warmup):
+        cache, cur, prev_win, pos, key, vprev = one_iter(
+            cache, cur, prev_win, pos, key, vprev)
+    _ = float(jax.device_get(vprev))
+    compile_s = time.perf_counter() - t_compile
+
+    # per-iteration host sync: see measure_vocoder (chained multi-program
+    # dispatch is pathological on the remote runtime)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cache, cur, prev_win, pos, key, vprev = one_iter(
+            cache, cur, prev_win, pos, key, vprev)
+        _ = float(jax.device_get(vprev))
+    dt = time.perf_counter() - t0
+
+    del cache
+    gc.collect()
+    audio_s_per_s = iters * frames_per_chunk / FRAME_RATE / dt
+    print(f"# e2e: B={batch} S={cache_len} voc=({bv}x{tv}) "
+          f"audio_s/s={audio_s_per_s:.1f} warmup_s={compile_s:.1f}",
+          file=sys.stderr)
+    return audio_s_per_s
+
+
+def measure_vocoder(on_tpu: bool, *, warmup: int = 1, iters: int = 3) -> float:
+    """Batched codes->waveform throughput (bf16 serving dtype) ->
+    audio_s/s/chip. The measured program is `dac_from_indices` — the exact
+    serving decode path (ref hot path modded_dac.py:760-801)."""
     if on_tpu:
-        ccfg = s2_pro_codec_config()
         bv = int(os.environ.get("BENCH_VOC_BATCH", "8"))
         tv = int(os.environ.get("BENCH_VOC_FRAMES", "128"))
     else:
-        ccfg = tiny_codec_config()
         bv, tv = 2, 16
 
-    cparams = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        init_dac_params(jax.random.key(2), ccfg))
+    ccfg, cparams, packed, dac_decode = build_vocoder(on_tpu)
     n_q = ccfg.rvq.total_codebooks
     codes = jax.random.randint(jax.random.key(3), (bv, n_q, tv), 0,
                                ccfg.rvq.codebook_size, dtype=jnp.int32)
@@ -233,7 +354,7 @@ def measure_vocoder(on_tpu: bool, *, warmup: int = 1, iters: int = 3) -> float:
     # the remote axon runtime block_until_ready can return before the
     # execution finishes, but a host transfer cannot
     fn = jax.jit(lambda p, c, prev: (
-        lambda w: (w, jnp.max(jnp.abs(w))))(dac_from_indices(
+        lambda w: (w, jnp.max(jnp.abs(w))))(dac_decode(
             p, ccfg, (c + (prev > 2.0).astype(jnp.int32)[None, None, None])
             % ccfg.rvq.codebook_size)))
 
@@ -244,10 +365,14 @@ def measure_vocoder(on_tpu: bool, *, warmup: int = 1, iters: int = 3) -> float:
     _ = float(jax.device_get(prev))
     compile_s = time.perf_counter() - t_compile
 
+    # host-sync EVERY call (the serving pattern: dispatch, fetch audio).
+    # Chaining several of these multi-custom-call programs with one final
+    # fetch trips a remote-runtime pathology (measured 0.11 s/call synced
+    # vs ~13 s/call chained on the axon tunnel).
     t0 = time.perf_counter()
     for _ in range(iters):
         wav, prev = fn(cparams, codes, prev)
-    _ = float(jax.device_get(prev))
+        _ = float(jax.device_get(prev))
     dt = time.perf_counter() - t0
 
     del cparams
@@ -291,6 +416,25 @@ def main():
         except Exception as e:  # keep the headline even if the row OOMs
             print(f"# lm row B={b2} S={s2} failed: {e}", file=sys.stderr)
 
+    e2e = None
+    if not fast:
+        # measured combined run: LM decode chunk + vocoding the same number
+        # of frames, serially chained on-chip (the serving occupancy
+        # pattern). Smaller LM batch than the LM-only headline so the
+        # vocoder activations fit beside the KV cache.
+        be = int(os.environ.get("BENCH_E2E_BATCH", "128"))
+        se = int(os.environ.get("BENCH_E2E_CACHE", "384"))
+        vf = int(os.environ.get("BENCH_E2E_VOC_FRAMES", "128"))
+        if not on_tpu:
+            be, se, vf = 2, 256, 4
+        try:
+            e2e = measure_e2e(params, cfg, bias, kv_dtype, support,
+                              batch=be, cache_len=se,
+                              steps_per_call=steps_per_call, voc_frames=vf,
+                              warmup=warmup, iters=iters)
+        except Exception as e:
+            print(f"# e2e bench failed: {e}", file=sys.stderr)
+
     del params
     gc.collect()
 
@@ -301,7 +445,12 @@ def main():
         except Exception as e:
             print(f"# vocoder bench failed: {e}", file=sys.stderr)
 
-    if voc is not None:
+    if e2e is not None:
+        value = e2e
+        note = ("end-to-end MEASURED: interleaved LM decode + vocoder on "
+                "one chip; vs_baseline is the reference's batched 139.3 "
+                "audio_s/s (3000 tok/s, README.md:137) on one H200")
+    elif voc is not None:
         value = 1.0 / (1.0 / lm + 1.0 / voc)
         note = "end-to-end: 1/(1/lm + 1/vocoder), serial chip occupancy"
     else:
@@ -312,6 +461,7 @@ def main():
         "value": round(value, 3),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
+        "vs_single_stream_rtf": round(value / BASELINE_SINGLE_STREAM, 3),
         "lm_audio_s_per_s": round(lm, 3),
         "note": note,
         **extras,

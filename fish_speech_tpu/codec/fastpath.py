@@ -200,6 +200,13 @@ def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16) -> dict:
     out["snake_alpha"] = jnp.pad(params["snake_alpha"],
                                  (0, cp_last - c_last),
                                  constant_values=1.0).astype(jnp.float32)
+    # per-block fused tail snake = the NEXT block's entry snake (or the
+    # decoder-final snake): consumed only by the following op, and XLA's
+    # own sin lowering costs 10-115 ms at these tensor sizes (measured)
+    for i, blk in enumerate(out["blocks"]):
+        nxt = (out["blocks"][i + 1]["snake_alpha"]
+               if i + 1 < len(out["blocks"]) else out["snake_alpha"])
+        blk["tail_vec"] = jnp.stack([nxt, 1.0 / (nxt + 1e-9)])
     out["conv_out_w"] = jnp.pad(params["conv_out_w"],
                                 ((0, 0), (0, cp_last - c_last),
                                  (0, 0))).astype(dtype)
@@ -219,17 +226,26 @@ def decoder_pallas(params: dict, cfg: DACConfig, z: jax.Array,
     if packed is None:
         packed = pack_decoder(params, cfg, dtype=z.dtype)
     x = conv1d_mm(z, packed["conv_in_w"], packed["conv_in_b"])
+    # block 0's entry snake has no preceding kernel to ride in: exact sin
+    # via the f32 cast-sandwich (the only fast XLA sin form, measured
+    # 9.5 ms vs 115 ms bf16 at 33M elements; this tensor is ~6M)
+    a0 = packed["blocks"][0]["snake_alpha"]
+    x = snake(x.astype(jnp.float32), a0).astype(x.dtype)
     for pb, stride in zip(packed["blocks"], cfg.decoder_rates):
-        x = snake(x, pb["snake_alpha"])
+        # entry snakes of later blocks + the decoder-final snake are fused
+        # into the previous stage's kernel (tail_vec); none appear here
         x = conv_transpose1d_mm(x, pb["tconv_w"], pb["tconv_b"],
                                 stride=stride)
         cp = pb["tconv_w"].shape[2]  # static padded channel count
         if cp > 512:
             # 3-unit weight set would blow VMEM: one unit per call
             for u in range(len(_DILATIONS)):
-                sub = {k: v[u:u + 1] for k, v in pb["res"].items()}
+                sub = {k: v[u:u + 1] for k, v in pb["res"].items()
+                       if k != "tail_vec"}
+                last = u == len(_DILATIONS) - 1
                 x = fused_res_stack(x, sub, tt=_tile_for(x.shape[1], 256),
-                                    dilations=(_DILATIONS[u],))
+                                    dilations=(_DILATIONS[u],),
+                                    tail_vec=pb["tail_vec"] if last else None)
         else:
             # tile cap by channel width: small-C stages have huge T, so
             # larger tiles amortize per-grid-step overhead (VMEM budget:
@@ -237,8 +253,8 @@ def decoder_pallas(params: dict, cfg: DACConfig, z: jax.Array,
             # input slots must stay under ~14 MB)
             cap = 2048 if cp <= 128 else (1024 if cp <= 256 else 512)
             x = fused_res_stack(x, pb["res"], tt=_tile_for(x.shape[1], cap),
-                                dilations=_DILATIONS)
-    x = snake(x, packed["snake_alpha"])
+                                dilations=_DILATIONS,
+                                tail_vec=pb["tail_vec"])
     x = conv1d_mm(x, packed["conv_out_w"], packed["conv_out_b"])
     return jnp.tanh(x)
 

@@ -140,10 +140,17 @@ class TTSEngine:
             cfg.vocab_size, cfg.semantic_begin_id, cfg.semantic_end_id,
             self.im_end_id)
         if codec_params is not None:
-            from ..codec.model import dac_encode, dac_from_indices
+            from ..codec.fastpath import dac_from_indices_pallas, pack_decoder
+            from ..codec.model import dac_encode
 
+            # serving vocoder = the Pallas-fused decoder (codec/fastpath.py:
+            # ~3x the lax-conv path on chip); weights packed once here
+            self._packed_decoder = jax.jit(
+                lambda p: pack_decoder(p["decoder"], self.codec_cfg))(
+                codec_params)
             self._jit_vocoder = jax.jit(
-                lambda p, c: dac_from_indices(p, self.codec_cfg, c))
+                lambda p, c: dac_from_indices_pallas(
+                    p, self.codec_cfg, c, packed=self._packed_decoder))
             self._jit_encoder = jax.jit(
                 lambda p, w: dac_encode(p, self.codec_cfg, w))
 

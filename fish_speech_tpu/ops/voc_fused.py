@@ -66,13 +66,35 @@ def pack_res_stack(units: list[dict], dtype=jnp.bfloat16) -> dict:
     return {"w7": w7, "w1": w1, "vec": jnp.stack([vec(u) for u in units])}
 
 
+# sin^2(pi t) over t in [-1, 1] as a degree-8 polynomial in v = t^2:
+# max abs error 3.2e-7 (least-squares fit on 400k points) — four orders of
+# magnitude below bf16 rounding, i.e. numerically indistinguishable from
+# jnp.sin here. The VPU's real sin measured as 2/3 of the whole kernel's
+# runtime (57 -> 17 ms at C=128 with snakes removed); this is ~13 cheap ops.
+# Range reduction truncates via an int32 round-trip: jnp.floor inside a
+# Mosaic kernel lowers to a ~7000x slower scalar path (measured 10.8 s vs
+# 1.6 ms for a (1024,128) tile), and the classic magic-constant trick
+# ((y + 1.5*2^23) - 1.5*2^23) is folded away by XLA's algebraic simplifier.
+_S2C = (9.8695971, -32.469450, 42.725542, -30.106179, 13.162649,
+        -3.8590640, 0.75673261, -0.079827846)
+_INV_PI = 0.3183098861837907
+
+
 def _snake(x, alpha, inv_alpha):
-    s = jnp.sin(alpha * x)
-    return x + s * s * inv_alpha
+    """snake(x) = x + sin^2(alpha*x)/(alpha+eps), f32 in/out."""
+    y = alpha * x * _INV_PI
+    t = y - y.astype(jnp.int32).astype(jnp.float32)   # frac, t in (-1, 1)
+    v = t * t
+    s2 = _S2C[7]
+    for cc in _S2C[6::-1]:
+        s2 = cc + v * s2
+    s2 = v * s2
+    return x + s2 * inv_alpha
 
 
-def _res_stack_kernel(x_hbm, w7_ref, w1_ref, vec_ref, y_ref, xbuf, sem, *,
-                      tt: int, halo: int, dilations: tuple[int, ...], c: int):
+def _res_stack_kernel(x_hbm, w7_ref, w1_ref, vec_ref, tail_ref, y_ref,
+                      xbuf, sem, *, tt: int, halo: int,
+                      dilations: tuple[int, ...], c: int, tail: bool):
     """Double-buffered: grid step (b, j) waits on the copy started at the
     previous step and starts the next tile's copy before computing."""
     b = pl.program_id(0)
@@ -99,7 +121,11 @@ def _res_stack_kernel(x_hbm, w7_ref, w1_ref, vec_ref, y_ref, xbuf, sem, *,
         copy_for(nxt_b, nxt_j, 1 - slot).start()
 
     copy_for(b, j, slot).wait()
-    cur = xbuf[slot].astype(jnp.float32)        # (halo+tt, C)
+    # state stays in the I/O dtype (bf16 serving): matches the reference's
+    # bf16 activations exactly (conv accumulation still f32 via the dots);
+    # halves VMEM traffic and VPU work vs carrying f32 state
+    wt = w7_ref.dtype
+    cur = xbuf[slot][...]                       # (halo+tt, C)
     pad = halo
     for u, d in enumerate(dilations):
         rf = 6 * d
@@ -108,7 +134,7 @@ def _res_stack_kernel(x_hbm, w7_ref, w1_ref, vec_ref, y_ref, xbuf, sem, *,
         ia1 = vec_ref[u, 1][None, :]
         a2 = vec_ref[u, 2][None, :]
         ia2 = vec_ref[u, 3][None, :]
-        s = _snake(cur, a1, ia1).astype(w7_ref.dtype)
+        s = _snake(cur.astype(jnp.float32), a1, ia1).astype(wt)
         acc = jnp.broadcast_to(vec_ref[u, 4][None, :], (n, c)).astype(jnp.float32)
         for i in range(7):
             acc = acc + jax.lax.dot(s[i * d: i * d + n], w7_ref[u, i],
@@ -116,14 +142,22 @@ def _res_stack_kernel(x_hbm, w7_ref, w1_ref, vec_ref, y_ref, xbuf, sem, *,
         s2 = _snake(acc, a2, ia2).astype(w1_ref.dtype)
         y = jax.lax.dot(s2, w1_ref[u], preferred_element_type=jnp.float32)
         y = y + vec_ref[u, 5][None, :]
-        cur = cur[rf:] + y
+        cur = (cur[rf:].astype(jnp.float32) + y).astype(cur.dtype)
         pad -= rf
-    y_ref[0] = cur[pad:].astype(y_ref.dtype)
+    out = cur[pad:]
+    if tail:
+        # the next stage's entry snake (or the decoder-final snake) fused
+        # here: it is consumed only by the following transposed conv, and
+        # XLA's own sin lowering on these tensor sizes costs 10-100 ms
+        out = _snake(out.astype(jnp.float32), tail_ref[0][None, :],
+                     tail_ref[1][None, :]).astype(out.dtype)
+    y_ref[0] = out.astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tt", "dilations", "interpret"))
 def fused_res_stack(x: jax.Array, packed: dict, *, tt: int = 512,
                     dilations: tuple[int, ...] = _DILATIONS,
+                    tail_vec: jax.Array | None = None,
                     interpret: bool | None = None) -> jax.Array:
     """Apply the fused residual-unit stack. x: (B, T, C), T % tt == 0.
 
@@ -139,13 +173,17 @@ def fused_res_stack(x: jax.Array, packed: dict, *, tt: int = 512,
     halo = halo_for(dilations)
     xp = jnp.pad(x, ((0, 0), (halo, 0), (0, 0)))
 
+    tail = tail_vec is not None
+    if tail_vec is None:
+        tail_vec = jnp.ones((2, c), jnp.float32)
     kernel = functools.partial(_res_stack_kernel, tt=tt, halo=halo,
-                               dilations=tuple(dilations), c=c)
+                               dilations=tuple(dilations), c=c, tail=tail)
     return pl.pallas_call(
         kernel,
         grid=(b, t // tt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -158,4 +196,4 @@ def fused_res_stack(x: jax.Array, packed: dict, *, tt: int = 512,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, packed["w7"], packed["w1"], packed["vec"])
+    )(xp, packed["w7"], packed["w1"], packed["vec"], tail_vec)
