@@ -178,10 +178,18 @@ class ContinuousBatcher:
         @partial(jax.jit, donate_argnums=(1,))
         def tick(params, cache, cur, pos, start, active, prev_win,
                  key, bias, sampling):
-            rope_pos = (pos - start)[:, None]
+            # inactive slots (free, or mid-chunked-prefill) must not scatter
+            # their stale (pos, cur) into the cache — a decode tick between
+            # prefill chunks would overwrite rows an earlier chunk already
+            # wrote. Redirect their KV write to row cache_len-1: that row is
+            # only attendable at a decode step with pos == cache_len-1, and
+            # the step's own write lands before the read, so the garbage can
+            # never be observed.
+            write_pos = jnp.where(active, pos, jnp.int32(self.cache_len - 1))
+            rope_pos = (write_pos - start)[:, None]
             key, sub = jax.random.split(key)
             col, new_cache = decode_one_token(
-                params, cfg, cur[:, :, None], cache, pos,
+                params, cfg, cur[:, :, None], cache, write_pos,
                 self.freqs, self.fast_freqs, bias, sub, sampling, prev_win,
                 top_k=top_k, greedy=greedy, rope_positions=rope_pos,
                 key_valid_from=start, sample_support=self.support)
@@ -208,10 +216,14 @@ class ContinuousBatcher:
                        key, bias, sampling, n):
             def body(i, carry):
                 cache, cur, pos, active, prev_win, key, out = carry
-                rope_pos = (pos - start)[:, None]
+                # mask inactive slots' KV writes (see _build_tick): slots
+                # that finish mid-chunk stop scattering at advancing pos
+                write_pos = jnp.where(active, pos,
+                                      jnp.int32(self.cache_len - 1))
+                rope_pos = (write_pos - start)[:, None]
                 key, sub = jax.random.split(key)
                 col, cache = decode_one_token(
-                    params, cfg, cur[:, :, None], cache, pos,
+                    params, cfg, cur[:, :, None], cache, write_pos,
                     self.freqs, self.fast_freqs, bias, sub, sampling,
                     prev_win, top_k=top_k, greedy=greedy,
                     rope_positions=rope_pos, key_valid_from=start,

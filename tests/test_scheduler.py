@@ -276,3 +276,66 @@ def test_chunked_prefill_matches_monolithic():
     got_s = np.stack(r_short.result, axis=1)
     ns = single_short.shape[1]
     np.testing.assert_array_equal(got_s[:, :ns], single_short)
+
+
+def test_chunked_prefill_recycled_slot():
+    """Regression: a decode tick between prefill chunks must not scatter the
+    recycled slot's stale (pos, cur) into cache rows an earlier chunk already
+    wrote. Slot 0 first serves a short request (finishing at pos ~24, inside
+    the next prompt's chunk-2 row range [16, 32)), then is recycled for a
+    chunked long-prompt prefill while slot 1 keeps decoding — the interleaved
+    ticks used to rewrite row `stale pos` of slot 0 every step."""
+    cfg, params, bias = _setup()
+    rng = np.random.default_rng(11)
+    long_prompt = random_lm_prompt(cfg, 40, rng)   # 3 chunks of 16
+    warm_prompt = random_lm_prompt(cfg, 9, rng)    # recycler: ends pos>=16
+    bg_prompt = random_lm_prompt(cfg, 7, rng)      # keeps ticks flowing
+
+    mono = ContinuousBatcher(params, cfg, num_slots=2, cache_len=128,
+                             im_end_id=IM_END, bias=bias, greedy=True,
+                             prompt_bucket=16)
+    want = mono.run([SlotRequest(request_id=0, prompt=long_prompt,
+                                 max_new_tokens=8)])[0]
+
+    b = ContinuousBatcher(params, cfg, num_slots=2, cache_len=128,
+                          im_end_id=IM_END, bias=bias, greedy=True,
+                          prompt_bucket=16, prefill_chunk=16)
+    r_warm = SlotRequest(request_id=1, prompt=warm_prompt, max_new_tokens=8)
+    r_bg = SlotRequest(request_id=2, prompt=bg_prompt, max_new_tokens=60)
+    b._assign(r_warm, 0)
+    b._assign(r_bg, 1)
+    # run slot 0's request to completion (slot 1 keeps going)
+    while b.active_h[0]:
+        b.step()
+    stale_pos = int(jax.device_get(b.pos[0]))
+    assert 16 <= stale_pos < 48, stale_pos  # inside the long prompt's rows
+    assert b.active_h[1]                    # ticks will interleave
+
+    r_long = SlotRequest(request_id=3, prompt=long_prompt, max_new_tokens=8)
+    b._assign(r_long, 0)
+    assert b.prefill_pending()
+
+    # the sharp assertion: two chunks in, a decode tick (slot 1 is active)
+    # must leave slot 0's already-prefilled rows [0, 32) bitwise untouched —
+    # the unmasked scatter used to rewrite row `stale_pos` every tick
+    from fish_speech_tpu.engine.scheduler import slice_slot_cache
+    assert cfg.kv_cache_layout != "pos"  # row axis below assumes head-major
+    b.prefill_tick()
+    b.prefill_tick()
+    before = np.asarray(jax.device_get(
+        slice_slot_cache(b.cache, 0, pos_major=False).k))[..., :32, :]
+    b.step()
+    after = np.asarray(jax.device_get(
+        slice_slot_cache(b.cache, 0, pos_major=False).k))[..., :32, :]
+    np.testing.assert_array_equal(after, before)
+
+    while b.prefill_pending() or b.active_h[0]:
+        if b.prefill_pending():
+            b.prefill_tick()
+        if b.has_active():
+            b.step()
+
+    got = np.stack(r_long.result, axis=1)
+    n = min(want.shape[1], got.shape[1])
+    np.testing.assert_array_equal(got[:, :n], want[:, :n])
+    assert abs(got.shape[1] - want.shape[1]) <= 1
