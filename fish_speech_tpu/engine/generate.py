@@ -125,7 +125,7 @@ class TTSEngine:
     def __init__(self, params: dict, cfg: DualARConfig, tokenizer,
                  codec_params: dict | None = None, codec_cfg=None,
                  cache_len: int | None = None, scheduler_slots: int = 0,
-                 scheduler_chunk: int = 1):
+                 scheduler_chunk: int = 1, prefill_chunk: int | None = None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -157,10 +157,15 @@ class TTSEngine:
         if scheduler_slots > 0:
             from .scheduler import ContinuousBatcher, SchedulerThread
 
+            # prefill_chunk: prompts longer than this prefill one chunk per
+            # scheduler tick, interleaved with decode ticks, so a cold long
+            # prompt never stalls in-flight streams for more than one
+            # chunk's dispatch (SGLang's chunked prefill plays this role in
+            # the reference stack, ref README.md:133)
             batcher = ContinuousBatcher(
                 params, cfg, num_slots=scheduler_slots,
                 cache_len=self.cache_len, im_end_id=self.im_end_id,
-                bias=self._bias)
+                bias=self._bias, prefill_chunk=prefill_chunk)
             self.scheduler = SchedulerThread(batcher,
                                              chunk_steps=scheduler_chunk)
 
@@ -214,7 +219,9 @@ class TTSEngine:
         batches of up to `micro_batch` per jitted dispatch (one program per
         (batch, frame-bucket) instead of one dispatch per item — the
         reference server micro-batches its VQGAN decodes the same way,
-        ref tools/server/model_utils.py:69-86)."""
+        ref tools/server/model_utils.py:69-86). The batch dimension is
+        bucketed to the next power of two <= micro_batch, so a
+        single-sequence request pays 1x the vocoder FLOPs, not 8x."""
         from ..codec.model import dac_from_indices  # noqa: F401 (jit below)
 
         assert self.codec_params is not None, "no codec attached"
@@ -226,8 +233,10 @@ class TTSEngine:
             group = codes_list[lo:lo + micro_batch]
             lens = [c.shape[1] for c in group]
             bucket = max(32, -(-max(lens) // 64) * 64)
-            padded = np.zeros((micro_batch, group[0].shape[0], bucket),
-                              np.int32)
+            bb = 1
+            while bb < len(group):
+                bb *= 2
+            padded = np.zeros((bb, group[0].shape[0], bucket), np.int32)
             for i, c in enumerate(group):
                 padded[i, :, : c.shape[1]] = c
             wav = np.asarray(

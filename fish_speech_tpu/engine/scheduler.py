@@ -112,6 +112,11 @@ class ContinuousBatcher:
         # SGLang's chunked prefill plays this role in the reference stack)
         self.prefill_chunk = prefill_chunk
         self._inflight: list[dict] = []  # FIFO of chunked assigns
+        # observability: how many prompts took the chunked path, and how
+        # many decode ticks ran while a chunked prefill was in flight
+        # (asserted by server-level tests; useful in serving logs)
+        self.chunked_prefills = 0
+        self.ticks_while_prefilling = 0
 
         import jax.numpy as _jnp
 
@@ -466,6 +471,7 @@ class ContinuousBatcher:
         self.slot_req[slot] = req  # reserve: free_slots() skips this slot
         self._inflight.append({"req": req, "slot": slot, "blocks": blocks,
                                "next": 0, "t_total": t_total})
+        self.chunked_prefills += 1
         return True
 
     def prefill_pending(self) -> bool:
@@ -536,6 +542,8 @@ class ContinuousBatcher:
 
     def step(self) -> None:
         """One decode tick for all active slots + host bookkeeping."""
+        if self._inflight:
+            self.ticks_while_prefilling += 1
         self.cache, col, pos, win, finished, self.key = self._tick_fn(
             self.params, self.cache, self.cur, self.pos,
             self.start, self.active, self.prev_win, self.key, self.bias,

@@ -80,9 +80,14 @@ class TTSApp:
         workers = 4 if getattr(engine, "scheduler", None) is not None else 1
         self.executor = ThreadPoolExecutor(max_workers=workers,
                                            thread_name_prefix="model-worker")
-        # /v1/vqgan/encode LRU (audio-bytes sha256 -> tokens)
+        # /v1/vqgan/encode LRU (audio-bytes sha256 -> tokens); guarded by a
+        # lock — up to `workers` executor threads touch it concurrently and
+        # get/move_to_end/popitem sequences are not atomic
+        import threading
+
         self._encode_cache: "OrderedDict[str, list]" = OrderedDict()
         self._encode_cache_cap = 32
+        self._encode_cache_lock = threading.Lock()
 
     async def _run(self, fn, *args):
         loop = asyncio.get_running_loop()
@@ -131,16 +136,19 @@ class TTSApp:
             tokens = []
             for audio in req.audios:
                 key = hashlib.sha256(audio).hexdigest()
-                hit = self._encode_cache.get(key)
+                with self._encode_cache_lock:
+                    hit = self._encode_cache.get(key)
+                    if hit is not None:
+                        self._encode_cache.move_to_end(key)
                 if hit is not None:
-                    self._encode_cache.move_to_end(key)
                     tokens.append(hit)
                     continue
                 wav = decode_audio_bytes(audio, self.engine.codec_cfg.sample_rate)
                 t = self.engine.encode_reference(wav).tolist()
-                self._encode_cache[key] = t
-                while len(self._encode_cache) > self._encode_cache_cap:
-                    self._encode_cache.popitem(last=False)
+                with self._encode_cache_lock:
+                    self._encode_cache[key] = t
+                    while len(self._encode_cache) > self._encode_cache_cap:
+                        self._encode_cache.popitem(last=False)
                 tokens.append(t)
             return tokens
 

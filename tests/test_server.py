@@ -202,7 +202,7 @@ def test_vqgan_decode_batched(tmp_path):
     wavs = engine.decode_codes_batch(codes)
     engine._jit_vocoder = orig
     assert len(calls) == 1, calls            # one batched dispatch
-    assert calls[0][0] == 8                  # micro-batch padded to 8
+    assert calls[0][0] == 4                  # 3 items -> pow-2 batch bucket
     for got, want in zip(wavs, singles):
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
@@ -234,6 +234,92 @@ def test_vqgan_decode_batched(tmp_path):
             assert r2.status == 200
             assert n_enc[0] == 0             # served from the LRU
             assert (await r1.json())["tokens"] == (await r2.json())["tokens"]
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
+def test_chunked_prefill_serving(tmp_path):
+    """Product wiring of chunked prefill: a long-prompt HTTP request takes
+    the chunked path (TTSEngine passes prefill_chunk through to the
+    batcher) while a concurrent streaming request keeps decoding between
+    prefill chunks and keeps emitting audio."""
+    import time
+
+    from fish_speech_tpu.codec import init_dac_params, tiny_codec_config
+    from fish_speech_tpu.models.init import init_dual_ar_params
+
+    tok = ByteTokenizer(n_semantic=64)
+    cfg = DualARConfig(
+        vocab_size=tok.vocab_size,
+        n_layer=1, n_head=2, n_local_heads=2, dim=32, head_dim=16,
+        intermediate_size=64, max_seq_len=1024,
+        codebook_size=64, num_codebooks=4,
+        semantic_begin_id=tok.semantic_begin_id,
+        semantic_end_id=tok.semantic_end_id,
+        n_fast_layer=1, fast_dim=32, fast_n_head=2, fast_n_local_heads=2,
+        fast_head_dim=16, fast_intermediate_size=64,
+    )
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    ccfg = tiny_codec_config()
+    cparams = init_dac_params(jax.random.key(1), ccfg)
+    engine = TTSEngine(params, cfg, tok, codec_params=cparams, codec_cfg=ccfg,
+                       cache_len=1024, scheduler_slots=2, prefill_chunk=8)
+    batcher = engine.scheduler.batcher
+    app = create_app(engine, ref_dir=str(tmp_path / "refs"))
+
+    async def scenario():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # warm up both jitted paths first (streaming programs + the
+            # chunk-prefill program): cold compiles take seconds, and a
+            # cold long request would not reach its first prefill chunk
+            # until the fast-finishing warm stream is already done
+            r = await client.post("/v1/tts", json={
+                "text": "warm", "max_new_tokens": 8, "streaming": True,
+                "format": "pcm", "chunk_length": 200})
+            await r.read()
+            r = await client.post("/v1/tts", json={
+                "text": "word " * 80, "max_new_tokens": 8,
+                "chunk_length": 1000})
+            assert r.status == 200
+            base_chunked = batcher.chunked_prefills
+            base_ticks = batcher.ticks_while_prefilling
+            assert base_chunked >= 1      # flag wiring proven already
+
+            # streaming request; post the long request as soon as its slot
+            # is ACTIVE (full token budget still ahead of it)
+            stream_resp = await client.post("/v1/tts", json={
+                "text": "keep talking", "max_new_tokens": 300,
+                "temperature": 0.1, "top_p": 0.1, "streaming": True,
+                "format": "pcm", "chunk_length": 200})
+            assert stream_resp.status == 200
+            chunk_times = []
+
+            async def reader():
+                async for chunk in stream_resp.content.iter_chunked(1 << 16):
+                    chunk_times.append(time.monotonic())
+
+            rtask = asyncio.get_running_loop().create_task(reader())
+            while not batcher.active_h.any():
+                await asyncio.sleep(0.005)
+
+            # long prompt (~400 byte-tokens >> prefill_chunk=8): must take
+            # the chunked path without stalling the stream
+            r = await client.post("/v1/tts", json={
+                "text": "word " * 80, "max_new_tokens": 8,
+                "chunk_length": 1000})
+            assert r.status == 200
+            assert (await r.read())[:4] == b"RIFF"
+            assert batcher.chunked_prefills >= base_chunked + 1
+            # decode ticks ran between prefill chunks: the concurrent
+            # stream kept decoding (and therefore emitting) while the long
+            # prompt prefilled
+            assert batcher.ticks_while_prefilling >= base_ticks + 1
+            await rtask
+            assert chunk_times            # stream produced audio
         finally:
             await client.close()
 

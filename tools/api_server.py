@@ -107,7 +107,8 @@ def build_engine(args):
     return TTSEngine(params, cfg, tokenizer, codec_params=codec_params,
                      codec_cfg=codec_cfg, cache_len=args.cache_len,
                      scheduler_slots=getattr(args, "scheduler_slots", 0),
-                     scheduler_chunk=getattr(args, "scheduler_chunk", 1))
+                     scheduler_chunk=getattr(args, "scheduler_chunk", 1),
+                     prefill_chunk=getattr(args, "prefill_chunk", None))
 
 
 def main():
@@ -130,6 +131,12 @@ def main():
                         help=">1 runs N decode ticks per device dispatch "
                              "(throughput mode; adds up to N tokens of "
                              "streaming latency)")
+    parser.add_argument("--prefill-chunk", type=int, default=None,
+                        help="prompts longer than N tokens prefill one "
+                             "N-token chunk per scheduler tick, interleaved "
+                             "with decode ticks, so long cold prompts never "
+                             "stall in-flight streams (needs "
+                             "--scheduler-slots)")
     parser.add_argument("--w8a8", action="store_true",
                         help="int8 activation x int8 weight MXU matmuls for "
                              "quantized checkpoints (2x MXU rate; small "
