@@ -89,6 +89,13 @@ class KVCache(NamedTuple):
     @staticmethod
     def create(n_layer: int, batch: int, seq: int, n_kv: int, head_dim: int,
                dtype=jnp.bfloat16, pos_major: bool = False) -> "KVCache":
+        """Zeroed cache. CALL EAGERLY (outside jit) unless the program fully
+        overwrites every slot before reading: on the TPU backend, an in-jit
+        zeros-init threaded through the carry-mode layer scan gets its zero
+        fill elided, leaving uninitialized memory at unfilled positions —
+        masked attention scores keep those columns at prob~0, but
+        0 x NaN-garbage still poisons the output (observed as all-NaN hidden
+        states on 3+ layer bf16 prefill; clean when created eagerly)."""
         if pos_major:
             shape = (n_layer, seq, batch, n_kv, head_dim)
             sshape = (n_layer, batch, seq * n_kv)
@@ -101,9 +108,15 @@ class KVCache(NamedTuple):
             # distinct buffers: ks/vs must not alias (the decode programs
             # donate the whole cache; donating one buffer through two leaves
             # is an INVALID_ARGUMENT on the TPU runtime)
-            return KVCache(k, v, jnp.zeros(sshape, jnp.float32),
-                           jnp.zeros(sshape, jnp.float32))
-        return KVCache(k, v)
+            leaves = (k, v, jnp.zeros(sshape, jnp.float32),
+                      jnp.zeros(sshape, jnp.float32))
+        else:
+            leaves = (k, v)
+        # optimization_barrier: defeat the zero-fill elision described above
+        # for in-jit creation (the barrier makes the fill observable, so the
+        # compiler must materialize it before the scan consumes the buffer)
+        leaves = jax.lax.optimization_barrier(leaves)
+        return KVCache(*leaves)
 
 
 class StackedCacheView(NamedTuple):

@@ -65,7 +65,12 @@ class FusedFastCache(NamedTuple):
     def create(n_layer: int, n_pos: int, batch: int, dim: int):
         z = jnp.zeros((n_layer, n_pos, batch, dim), jnp.int8)
         s = jnp.zeros((n_layer, n_pos, batch, 128), jnp.bfloat16)
-        return FusedFastCache(z, jnp.zeros_like(z), s, jnp.zeros_like(s))
+        # optimization_barrier: an in-jit zeros-init consumed through a layer
+        # scan can have its fill elided on TPU, leaving uninitialized memory
+        # at unfilled positions (see KVCache.create) — force materialization
+        leaves = jax.lax.optimization_barrier(
+            (z, jnp.zeros_like(z), s, jnp.zeros_like(s)))
+        return FusedFastCache(*leaves)
 
 
 def pack_fast_stack(fast_layers: dict) -> dict:

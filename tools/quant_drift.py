@@ -114,15 +114,33 @@ def main():
     def run_config(cfg, params, fused: bool):
         """Teacher-forced prefill + N cached decode steps.
         Returns (prefill slow logits over support, per-step slow logits,
-        per-step fast-head logits for codebook 1)."""
+        per-step fast-head logits for codebook 1).
+
+        All KV caches are created EAGERLY outside the jitted program: on the
+        TPU backend, a zeros-init created inside jit and threaded through the
+        carry-mode layer scan gets its zero fill elided, leaving
+        uninitialized memory at unfilled slots — masked scores keep those
+        columns out of the softmax, but prob(0) x NaN-garbage still poisons
+        the attention output (verified: 3+ layer 4B bf16 prefill produced
+        all-NaN hidden states with in-jit cache creation and is clean with
+        eager creation)."""
         kv_dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
                     else jnp.bfloat16)
+        cache0 = KVCache.create(cfg.n_layer, b, s, cfg.n_local_heads,
+                                cfg.head_dim, dtype=kv_dtype,
+                                pos_major=cfg.kv_cache_layout == "pos")
+        from fish_speech_tpu.ops.fast_fused import FusedFastCache
+
+        if fused:
+            fc0 = FusedFastCache.create(cfg.n_fast_layer, cfg.num_codebooks,
+                                        -(-b // 8) * 8, cfg.fast_dim)
+        else:
+            fc0 = KVCache.create(cfg.n_fast_layer, b, cfg.num_codebooks,
+                                 cfg.fast_n_local_heads, cfg.fast_head_dim,
+                                 dtype=kv_dtype)
 
         @jax.jit
-        def go(params, prompt, forced):
-            cache = KVCache.create(cfg.n_layer, b, s, cfg.n_local_heads,
-                                   cfg.head_dim, dtype=kv_dtype,
-                                   pos_major=cfg.kv_cache_layout == "pos")
+        def go(params, prompt, forced, cache, fc0):
             out = forward_generate(params, cfg, prompt, cache, jnp.int32(0),
                                    freqs, logit_support=support)
             prefill_logits = out.logits[:, -1].astype(jnp.float32)
@@ -132,27 +150,21 @@ def main():
                 cache, pos = carry
                 o = forward_generate(params, cfg, col[:, :, None], cache,
                                      pos, freqs, logit_support=support)
-                # fast head: prime with hidden, read codebook-1 logits
-                from fish_speech_tpu.ops.fast_fused import FusedFastCache
+                # fast head: prime with hidden, read codebook-1 logits.
+                # fc0 is the eagerly-zeroed template (see docstring); steps
+                # only ever write rows 0-1, so reusing it is exact.
                 from fish_speech_tpu.ops.quant import take_rows
 
                 if fused:
-                    fc = FusedFastCache.create(cfg.n_fast_layer,
-                                               cfg.num_codebooks,
-                                               -(-b // 8) * 8, cfg.fast_dim)
                     _, fc = forward_generate_fast(
-                        params, cfg, o.hidden[:, -1], fc, 0, fast_freqs,
+                        params, cfg, o.hidden[:, -1], fc0, 0, fast_freqs,
                         want_logits=False)
                     emb = take_rows(params["fast_embeddings"], col[:, 1])
                     fl, _ = forward_generate_fast(params, cfg, emb, fc, 1,
                                                   fast_freqs)
                 else:
-                    fc = KVCache.create(cfg.n_fast_layer, b,
-                                        cfg.num_codebooks,
-                                        cfg.fast_n_local_heads,
-                                        cfg.fast_head_dim, dtype=kv_dtype)
                     _, fc = forward_generate_fast(
-                        params, cfg, o.hidden[:, -1], fc, jnp.int32(0),
+                        params, cfg, o.hidden[:, -1], fc0, jnp.int32(0),
                         fast_freqs, want_logits=False)
                     emb = take_rows(params["fast_embeddings"], col[:, 1])
                     fl, _ = forward_generate_fast(params, cfg, emb, fc,
@@ -165,7 +177,7 @@ def main():
                 step, (cache, jnp.int32(t)), forced.transpose(2, 0, 1))
             return prefill_logits, slow_l, fast_l
 
-        pre, slow_l, fast_l = go(params, prompt_d, forced_d)
+        pre, slow_l, fast_l = go(params, prompt_d, forced_d, cache0, fc0)
         return (np.asarray(pre), np.asarray(slow_l), np.asarray(fast_l))
 
     print(f"# shape: layers={base.n_layer} dim={base.dim} "
