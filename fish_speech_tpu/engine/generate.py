@@ -125,7 +125,8 @@ class TTSEngine:
     def __init__(self, params: dict, cfg: DualARConfig, tokenizer,
                  codec_params: dict | None = None, codec_cfg=None,
                  cache_len: int | None = None, scheduler_slots: int = 0,
-                 scheduler_chunk: int = 1, prefill_chunk: int | None = None):
+                 scheduler_chunk: int = 1, prefill_chunk: int | None = None,
+                 vocoder_impl: str = "pallas"):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -140,17 +141,22 @@ class TTSEngine:
             cfg.vocab_size, cfg.semantic_begin_id, cfg.semantic_end_id,
             self.im_end_id)
         if codec_params is not None:
-            from ..codec.fastpath import dac_from_indices_pallas, pack_decoder
             from ..codec.model import dac_encode
 
-            # serving vocoder = the Pallas-fused decoder (codec/fastpath.py:
-            # ~3x the lax-conv path on chip); weights packed once here
-            self._packed_decoder = jax.jit(
-                lambda p: pack_decoder(p["decoder"], self.codec_cfg))(
-                codec_params)
-            self._jit_vocoder = jax.jit(
-                lambda p, c: dac_from_indices_pallas(
-                    p, self.codec_cfg, c, packed=self._packed_decoder))
+            # serving vocoder impl: "pallas" (fused kernels, ~2x the lax
+            # path steady-state on chip), "lax", "mm", or "auto" (probe
+            # steady state of pallas vs lax at first use and keep the
+            # faster — insurance against runtime dispatch pathologies, the
+            # round-3 bench lesson). Use warmup_vocoder() at server start:
+            # the remote runtime charges a one-time ~40 s cost on the
+            # SECOND call of a many-custom-call program, which must not
+            # land on a user request.
+            self._vocoder_fns: dict = {}
+            self._packed_decoder = None
+            if vocoder_impl == "auto":
+                vocoder_impl = self._select_vocoder_impl()
+            self.vocoder_impl = vocoder_impl
+            self._jit_vocoder = self._vocoder_fn(vocoder_impl)
             self._jit_encoder = jax.jit(
                 lambda p, w: dac_encode(p, self.codec_cfg, w))
 
@@ -168,6 +174,68 @@ class TTSEngine:
                 bias=self._bias, prefill_chunk=prefill_chunk)
             self.scheduler = SchedulerThread(batcher,
                                              chunk_steps=scheduler_chunk)
+
+    # -- vocoder impl selection / warmup -----------------------------------
+    def _vocoder_fn(self, impl: str):
+        """Jitted (params, codes (B,K+1,T)) -> wav, cached per impl."""
+        if impl not in self._vocoder_fns:
+            if impl == "pallas":
+                from ..codec.fastpath import (
+                    dac_from_indices_pallas,
+                    pack_decoder,
+                )
+
+                if self._packed_decoder is None:
+                    self._packed_decoder = jax.jit(
+                        lambda p: pack_decoder(p["decoder"], self.codec_cfg))(
+                        self.codec_params)
+                fn = jax.jit(lambda p, c: dac_from_indices_pallas(
+                    p, self.codec_cfg, c, packed=self._packed_decoder))
+            elif impl == "mm":
+                from ..codec.fastpath import dac_from_indices_mm
+
+                fn = jax.jit(lambda p, c: dac_from_indices_mm(
+                    p, self.codec_cfg, c))
+            elif impl == "lax":
+                from ..codec.model import dac_from_indices
+
+                fn = jax.jit(lambda p, c: dac_from_indices(
+                    p, self.codec_cfg, c))
+            else:
+                raise ValueError(f"unknown vocoder impl: {impl}")
+            self._vocoder_fns[impl] = fn
+        return self._vocoder_fns[impl]
+
+    def _select_vocoder_impl(self, probe_frames: int = 64) -> str:
+        """Measure pallas vs lax steady state (2 synced warmup calls absorb
+        the remote runtime's one-time second-call cost, then 2 timed calls)
+        and return the faster — a dispatch pathology can then never make
+        serving slower than the plain-XLA path."""
+        n_q = self.codec_cfg.rvq.total_codebooks
+        codes = jnp.zeros((1, n_q, probe_frames), jnp.int32)
+        results = {}
+        for impl in ("pallas", "lax"):
+            try:
+                fn = self._vocoder_fn(impl)
+                for _ in range(2):
+                    np.asarray(fn(self.codec_params, codes))
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    np.asarray(fn(self.codec_params, codes))
+                results[impl] = time.perf_counter() - t0
+            except Exception:
+                results[impl] = float("inf")
+        return min(results, key=results.get)
+
+    def warmup_vocoder(self, buckets=((1, 32), (8, 64))) -> None:
+        """Compile + run the serving vocoder TWICE per (batch, frame) bucket
+        so neither the compile nor the runtime's one-time second-call cost
+        lands on a user request."""
+        n_q = self.codec_cfg.rvq.total_codebooks
+        for bb, frames in buckets:
+            codes = jnp.zeros((bb, n_q, frames), jnp.int32)
+            for _ in range(2):
+                np.asarray(self._jit_vocoder(self.codec_params, codes))
 
     def _generate_codes(self, padded: np.ndarray, start: int, max_new: int,
                         req: "GenerateLongRequest", key) -> np.ndarray:
@@ -373,54 +441,102 @@ class TTSEngine:
         # ~12x redundant vocoder FLOPs at chunk_frames=16)
         vocoder = StatefulVocoder(self.codec_params, self.codec_cfg,
                                   chunk_frames=chunk_frames)
-        for batch_text in batches:
-            conversation.append(Message(
-                role="user", parts=[TextPart(text=batch_text)],
-                add_im_start=True, add_im_end=True))
-            conv_gen = conversation.copy()
-            conv_gen.append(Message(role="assistant", parts=[],
-                                    modality="voice", add_im_start=True,
-                                    add_im_end=False))
-            encoded = conv_gen.encode_for_inference(
-                self.tokenizer, num_codebooks=self.cfg.num_codebooks)
 
-            cols: "_queue.Queue" = _queue.Queue()
-            self._next_request_id += 1
-            max_new = req.max_new_tokens or (self.cache_len
-                                             - encoded.shape[1] - 1)
-            slot_req = SlotRequest(
-                request_id=self._next_request_id, prompt=encoded,
-                max_new_tokens=max_new, temperature=req.temperature,
-                top_p=req.top_p,
-                prefix_id=prefix_id, prefix_len=prefix_len,
-                on_token=lambda rid, col: cols.put(col))
-            self.scheduler.submit(slot_req)
+        # vocoder worker: jitted StatefulVocoder dispatches run on their own
+        # thread so the request thread only moves token columns and yields
+        # audio — with several concurrent streaming clients the per-chunk
+        # vocoder host time no longer serializes against column collection
+        # (the device itself still interleaves with the scheduler's ticks)
+        import threading as _threading
 
-            pending: list[np.ndarray] = []
-            done = False
-            while not done or not cols.empty():
-                try:
-                    col = cols.get(timeout=0.05)
-                    pending.append(col[1:])  # drop the token row
-                except _queue.Empty:
-                    done = slot_req.done.is_set()
-                    continue
-                if len(pending) >= chunk_frames:
-                    for wav in vocoder.feed(np.stack(pending, axis=1)):
-                        yield wav
-                    pending = []
-                done = done or slot_req.done.is_set()
-            if slot_req.error is not None:
-                raise slot_req.error
-            if pending:
-                for wav in vocoder.feed(np.stack(pending, axis=1)):
-                    yield wav
-            # segment boundary: append assistant turn for voice consistency
-            if slot_req.result:
-                seg_codes = np.stack(slot_req.result, axis=1)[1:]
+        _DONE = object()
+        voc_in: "_queue.Queue" = _queue.Queue()
+        voc_out: "_queue.Queue" = _queue.Queue()
+
+        def _voc_worker():
+            try:
+                while True:
+                    item = voc_in.get()
+                    if item is None:
+                        for w in vocoder.feed(final=True):
+                            voc_out.put(w)
+                        break
+                    for w in vocoder.feed(item):
+                        voc_out.put(w)
+            except Exception as e:  # surfaced by the generator below
+                voc_out.put(e)
+            voc_out.put(_DONE)
+
+        worker = _threading.Thread(target=_voc_worker, daemon=True)
+        worker.start()
+
+        try:
+            for batch_text in batches:
                 conversation.append(Message(
-                    role="assistant", parts=[VQPart(codes=seg_codes)],
-                    modality="voice", add_im_start=True, add_im_end=True))
-        # flush vocoder tail
-        for wav in vocoder.feed(final=True):
-            yield wav
+                    role="user", parts=[TextPart(text=batch_text)],
+                    add_im_start=True, add_im_end=True))
+                conv_gen = conversation.copy()
+                conv_gen.append(Message(role="assistant", parts=[],
+                                        modality="voice", add_im_start=True,
+                                        add_im_end=False))
+                encoded = conv_gen.encode_for_inference(
+                    self.tokenizer, num_codebooks=self.cfg.num_codebooks)
+
+                cols: "_queue.Queue" = _queue.Queue()
+                self._next_request_id += 1
+                max_new = req.max_new_tokens or (self.cache_len
+                                                 - encoded.shape[1] - 1)
+                slot_req = SlotRequest(
+                    request_id=self._next_request_id, prompt=encoded,
+                    max_new_tokens=max_new, temperature=req.temperature,
+                    top_p=req.top_p,
+                    prefix_id=prefix_id, prefix_len=prefix_len,
+                    on_token=lambda rid, col: cols.put(col))
+                self.scheduler.submit(slot_req)
+
+                pending: list[np.ndarray] = []
+                done = False
+                while not done or not cols.empty():
+                    try:
+                        col = cols.get(timeout=0.05)
+                        pending.append(col[1:])  # drop the token row
+                    except _queue.Empty:
+                        done = slot_req.done.is_set()
+                    if len(pending) >= chunk_frames:
+                        voc_in.put(np.stack(pending, axis=1))
+                        pending = []
+                    # yield whatever audio the vocoder worker has ready
+                    while True:
+                        try:
+                            w = voc_out.get_nowait()
+                        except _queue.Empty:
+                            break
+                        if isinstance(w, Exception):
+                            raise w
+                        yield w
+                    done = done or slot_req.done.is_set()
+                if slot_req.error is not None:
+                    raise slot_req.error
+                if pending:
+                    voc_in.put(np.stack(pending, axis=1))
+                # segment boundary: append assistant turn for voice consistency
+                if slot_req.result:
+                    seg_codes = np.stack(slot_req.result, axis=1)[1:]
+                    conversation.append(Message(
+                        role="assistant", parts=[VQPart(codes=seg_codes)],
+                        modality="voice", add_im_start=True, add_im_end=True))
+            # flush the vocoder tail and drain the worker
+            voc_in.put(None)
+            while True:
+                w = voc_out.get()
+                if w is _DONE:
+                    break
+                if isinstance(w, Exception):
+                    raise w
+                yield w
+            worker.join(timeout=60)
+        finally:
+            if worker.is_alive():
+                # abandoned stream (client disconnect): unblock the
+                # worker so it exits instead of leaking
+                voc_in.put(None)

@@ -108,7 +108,8 @@ def build_engine(args):
                      codec_cfg=codec_cfg, cache_len=args.cache_len,
                      scheduler_slots=getattr(args, "scheduler_slots", 0),
                      scheduler_chunk=getattr(args, "scheduler_chunk", 1),
-                     prefill_chunk=getattr(args, "prefill_chunk", None))
+                     prefill_chunk=getattr(args, "prefill_chunk", None),
+                     vocoder_impl=getattr(args, "vocoder_impl", "auto"))
 
 
 def main():
@@ -131,6 +132,11 @@ def main():
                         help=">1 runs N decode ticks per device dispatch "
                              "(throughput mode; adds up to N tokens of "
                              "streaming latency)")
+    parser.add_argument("--vocoder-impl", default="auto",
+                        choices=["auto", "pallas", "lax", "mm"],
+                        help="serving vocoder decode path; auto probes "
+                             "pallas vs lax steady-state at startup and "
+                             "keeps the faster")
     parser.add_argument("--prefill-chunk", type=int, default=None,
                         help="prompts longer than N tokens prefill one "
                              "N-token chunk per scheduler tick, interleaved "
@@ -159,10 +165,14 @@ def main():
 
     engine = build_engine(args)
     # warm-up: compile the decode path before accepting traffic
-    # (ref tools/server/model_manager.py:80-93)
+    # (ref tools/server/model_manager.py:80-93); the vocoder is run TWICE
+    # per bucket so the remote runtime's one-time second-call cost is
+    # absorbed here instead of on the first user requests
     from fish_speech_tpu.engine import GenerateLongRequest
 
     list(engine.generate_long(GenerateLongRequest(text="warmup", max_new_tokens=2)))
+    if engine.codec_params is not None:
+        engine.warmup_vocoder()
 
     app = create_app(engine, ref_dir=args.references_dir, api_key=args.api_key)
     host, port = args.listen.rsplit(":", 1)
