@@ -204,7 +204,7 @@ def measure_lm(params, cfg, bias, kv_dtype, support, *, batch: int,
     print(f"# lm: B={batch} S={cache_len} decode_steps/s={steps_per_s:.1f} "
           f"audio_s/s={audio_s_per_s:.1f} warmup_s={compile_s:.1f}",
           file=sys.stderr)
-    return audio_s_per_s
+    return audio_s_per_s, compile_s
 
 
 _VOC_CACHE: dict = {}
@@ -403,7 +403,7 @@ def measure_e2e(params, cfg, bias, kv_dtype, support, *, batch: int,
     print(f"# e2e: B={batch} S={cache_len} voc=({bv}x{tv}) impl={voc_impl} "
           f"audio_s/s={audio_s_per_s:.1f} warmup_s={compile_s:.1f}",
           file=sys.stderr)
-    return audio_s_per_s
+    return audio_s_per_s, compile_s
 
 
 def measure_vocoder(on_tpu: bool, *, warmup: int = 2, iters: int = 6) -> float:
@@ -455,7 +455,7 @@ def measure_vocoder(on_tpu: bool, *, warmup: int = 2, iters: int = 6) -> float:
           f"frames/s={frames_per_s:.0f} "
           f"audio_s/s={audio_s_per_s:.1f} warmup_s={compile_s:.1f}",
           file=sys.stderr)
-    return audio_s_per_s
+    return audio_s_per_s, compile_s
 
 
 def main():
@@ -469,9 +469,10 @@ def main():
         batch, cache_len, warmup, iters, steps_per_call = 2, 256, 1, 2, 4
 
     params, cfg, bias, kv_dtype, support = build_lm(on_tpu)
-    lm = measure_lm(params, cfg, bias, kv_dtype, support, batch=batch,
-                    cache_len=cache_len, warmup=warmup, iters=iters,
-                    steps_per_call=steps_per_call)
+    lm, lm_warm_s = measure_lm(params, cfg, bias, kv_dtype, support,
+                               batch=batch, cache_len=cache_len,
+                               warmup=warmup, iters=iters,
+                               steps_per_call=steps_per_call)
 
     extras = {}
     if not fast:
@@ -485,7 +486,7 @@ def main():
             extras[f"lm_audio_s_per_s_b{b2}_s{s2}"] = round(
                 measure_lm(params, cfg, bias, kv_dtype, support, batch=b2,
                            cache_len=s2, warmup=warmup, iters=iters,
-                           steps_per_call=steps_per_call), 3)
+                           steps_per_call=steps_per_call)[0], 3)
         except Exception as e:  # keep the headline even if the row OOMs
             print(f"# lm row B={b2} S={s2} failed: {e}", file=sys.stderr)
 
@@ -501,10 +502,11 @@ def main():
         if not on_tpu:
             be, se, vf = 2, 256, 4
         try:
-            e2e = measure_e2e(params, cfg, bias, kv_dtype, support,
-                              batch=be, cache_len=se,
-                              steps_per_call=steps_per_call, voc_frames=vf,
-                              warmup=warmup, iters=iters)
+            e2e, e2e_warm_s = measure_e2e(
+                params, cfg, bias, kv_dtype, support, batch=be,
+                cache_len=se, steps_per_call=steps_per_call,
+                voc_frames=vf, warmup=warmup, iters=iters)
+            extras["warmup_e2e_s"] = round(e2e_warm_s, 1)
         except Exception as e:
             print(f"# e2e bench failed: {e}", file=sys.stderr)
 
@@ -514,7 +516,8 @@ def main():
     voc = None
     if not fast:
         try:
-            voc = measure_vocoder(on_tpu)
+            voc, voc_warm_s = measure_vocoder(on_tpu)
+            extras["warmup_vocoder_s"] = round(voc_warm_s, 1)
         except Exception as e:
             print(f"# vocoder bench failed: {e}", file=sys.stderr)
 
@@ -536,6 +539,7 @@ def main():
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
         "vs_single_stream_rtf": round(value / BASELINE_SINGLE_STREAM, 3),
         "lm_audio_s_per_s": round(lm, 3),
+        "warmup_lm_s": round(lm_warm_s, 1),
         "note": note,
         **extras,
     }
