@@ -78,16 +78,37 @@ def build_lm(on_tpu: bool):
 
     key = jax.random.key(0)
     params = init_dual_ar_params(key, cfg, dtype=jnp.bfloat16)
-    if os.environ.get("BENCH_QUANT", "1" if on_tpu else "0") == "1":
+    bq = os.environ.get("BENCH_QUANT", "1" if on_tpu else "0")
+    if bq in ("1", "int8", "int4"):
         from fish_speech_tpu.ops.quant import quantize_lm_params
 
-        params = jax.jit(quantize_lm_params)(params)
-        print("# int8 weight-only quantized", file=sys.stderr)
+        if bq == "int4":
+            # W4A8: int4 groupwise slow-stack weights, nibble-packed in int8
+            # (half the int8 weight traffic; grouped int8 MXU dots under
+            # BENCH_W8A8), fast stack stays int8 for the fused kernel.
+            # Per-leaf jitted+donated quantize: the whole-tree program's
+            # temps + arguments exceed HBM at 4B.
+            from fish_speech_tpu.ops.quant import (
+                quantize_lm_params_incremental,
+            )
+
+            params = quantize_lm_params_incremental(params, mode="w4a8")
+            print("# int4 groupwise slow stack (W4A8, packed) + int8 rest",
+                  file=sys.stderr)
+        else:
+            params = jax.jit(quantize_lm_params)(params)
+            print("# int8 weight-only quantized", file=sys.stderr)
         if os.environ.get("BENCH_FUSED_FAST", "1" if on_tpu else "0") == "1":
             from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head
 
             params = enable_fused_fast_head(params)
             print("# fused fast-head sweeps", file=sys.stderr)
+        # settle before the KV cache's multi-GB allocations: the eager
+        # repack/quantize temps free asynchronously on the remote runtime,
+        # and a big allocation racing those frees can latch an async
+        # RESOURCE_EXHAUSTED that surfaces at an unrelated later fetch
+        _ = jax.device_get(jax.tree_util.tree_leaves(params)[0].reshape(-1)[0])
+        time.sleep(5 if on_tpu else 0)
 
     kv_default = "int8" if on_tpu else "bf16"
     kv_dtype = jnp.bfloat16

@@ -113,9 +113,12 @@ class KVCache(NamedTuple):
         else:
             leaves = (k, v)
         # optimization_barrier: defeat the zero-fill elision described above
-        # for in-jit creation (the barrier makes the fill observable, so the
-        # compiler must materialize it before the scan consumes the buffer)
-        leaves = jax.lax.optimization_barrier(leaves)
+        # for IN-JIT creation (the barrier makes the fill observable, so the
+        # compiler must materialize it before the scan consumes the buffer).
+        # Eagerly the buffers are real zeros already — and an eager barrier
+        # is an identity COPY, transiently doubling a multi-GB cache.
+        if isinstance(k, jax.core.Tracer):
+            leaves = jax.lax.optimization_barrier(leaves)
         return KVCache(*leaves)
 
 

@@ -67,9 +67,11 @@ class FusedFastCache(NamedTuple):
         s = jnp.zeros((n_layer, n_pos, batch, 128), jnp.bfloat16)
         # optimization_barrier: an in-jit zeros-init consumed through a layer
         # scan can have its fill elided on TPU, leaving uninitialized memory
-        # at unfilled positions (see KVCache.create) — force materialization
-        leaves = jax.lax.optimization_barrier(
-            (z, jnp.zeros_like(z), s, jnp.zeros_like(s)))
+        # at unfilled positions (see KVCache.create) — force materialization.
+        # Skip eagerly: there the fill is real and the barrier would copy.
+        leaves = (z, jnp.zeros_like(z), s, jnp.zeros_like(s))
+        if isinstance(z, jax.core.Tracer):
+            leaves = jax.lax.optimization_barrier(leaves)
         return FusedFastCache(*leaves)
 
 

@@ -222,3 +222,122 @@ def test_w8a8_logits_close_and_topk_stable():
         top1_got = got.argmax(-1)
         agree = (top1_ref == top1_got).mean()
         assert agree > 0.9, agree
+
+
+def test_matmul_t_w4a8_close_to_dequant():
+    """W4A8 grouped MXU form ~= int4 weight-only dequant form (identical
+    weight quantization; W4A8 adds per-row activation quantization, so the
+    tolerance is the activation-quant error bound)."""
+    from fish_speech_tpu.ops.quant import matmul_t, quantize_weight_int4
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((16, 256)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((128, 256)) * 0.05, jnp.float32)
+    qw = jax.jit(lambda w: quantize_weight_int4(w, groupsize=64))(w)
+    ref = matmul_t(x, qw, w8a8=False)   # int4 dequant matmul
+    out = matmul_t(x, qw, w8a8=True)    # W4A8 grouped int8 MXU path
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    scale = np.abs(np.asarray(ref, np.float32)).max()
+    assert err.max() / scale < 0.02, err.max() / scale
+    # 3-D activations (B, T, D) take the same path
+    x3 = jnp.asarray(rng.standard_normal((2, 8, 256)), jnp.bfloat16)
+    ref3 = matmul_t(x3, qw, w8a8=False)
+    out3 = matmul_t(x3, qw, w8a8=True)
+    err3 = np.abs(np.asarray(out3, np.float32) - np.asarray(ref3, np.float32))
+    assert err3.max() / scale < 0.02, err3.max() / scale
+
+    # nibble-packed serving form: identical values to the native int4 form
+    from fish_speech_tpu.ops.quant import (
+        as_weight, quantize_weight_int4_packed, unpack_int4)
+
+    qp = jax.jit(lambda w: quantize_weight_int4_packed(w, groupsize=64))(w)
+    assert qp["q4"].dtype == jnp.int8 and qp["q4"].shape == (128, 128)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(qp["q4"])),
+        np.asarray(qw["q"]).astype(np.int8))
+    np.testing.assert_allclose(np.asarray(as_weight(qp, jnp.float32)),
+                               np.asarray(as_weight(qw, jnp.float32)),
+                               rtol=0, atol=0)
+    outp = matmul_t(x, qp, w8a8=True)
+    np.testing.assert_array_equal(np.asarray(outp), np.asarray(out))
+
+
+def test_decode_runs_with_w4a8():
+    """Full decode program compiles and runs with int4 slow-stack weights +
+    w8a8 flag (the W4A8 serving config); codes stay in range and the
+    logits drift vs int4 weight-only dequant stays bounded."""
+    import dataclasses
+
+    from fish_speech_tpu.models.dual_ar import forward_train
+
+    cfg = dataclasses.replace(tiny_dual_ar_config(), w8a8_matmuls=True)
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    params = jax.jit(lambda p: quantize_lm_params(p, mode="w4a8",
+                                                  groupsize=16))(params)
+    # slow layers packed int4, fast layers int8 (fused-kernel compatible)
+    assert "q4" in params["layers"]["attention"]["wqkv"]
+    assert "s" in params["fast_layers"]["attention"]["wqkv"]
+
+    prompt = random_lm_prompt(cfg, 9, np.random.default_rng(1))
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, 4)
+    codes, _ = generate(
+        params, cfg, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+        jax.random.key(1), SamplingConfig.create(), bias,
+        max_new_tokens=6, im_end_id=4, cache_len=64)
+    codes = np.asarray(codes)
+    assert (codes[0, 1:] >= 0).all() and (codes[0, 1:] < cfg.codebook_size).all()
+
+    # model-level drift bound: W4A8 vs int4 weight-only dequant
+    batch = np.stack([random_lm_prompt(cfg, 24, np.random.default_rng(s))
+                      for s in range(4)])
+
+    def logits(c):
+        out = forward_train(params, c, jnp.asarray(batch), remat=False)
+        return np.asarray(out.token_logits, np.float32)
+
+    ref = logits(dataclasses.replace(cfg, w8a8_matmuls=False))
+    got = logits(cfg)
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).mean() / scale < 0.02
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+
+def test_w4a8_pallas_kernel_matches_xla():
+    """The Pallas W4A8 kernel (in-VMEM nibble unpack + per-group int8 MXU
+    dots) must be exact vs the XLA grouped formulation on identical int8
+    activations — both compute the same integer dots and f32 rescale."""
+    from fish_speech_tpu.ops.quant import quantize_weight_int4_packed, unpack_int4
+    from fish_speech_tpu.ops.w4a8 import w4a8_matmul
+
+    rng = np.random.default_rng(3)
+    m, k, n, gsz = 64, 512, 1024, 128
+    w = jnp.asarray(rng.standard_normal((n, k)) * 0.05, jnp.float32)
+    qw = jax.jit(lambda w: quantize_weight_int4_packed(w, groupsize=gsz))(w)
+    x8 = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+
+    got = np.asarray(w4a8_matmul(x8, qw["q4"], qw["gs"], gsz=gsz,
+                                 n_tile=256))
+    # reference: unpack + grouped int32 dots in plain XLA
+    unp = np.asarray(unpack_int4(qw["q4"])).astype(np.int32)   # (N, K)
+    xs = np.asarray(x8).astype(np.int32)
+    gs = np.asarray(qw["gs"])
+    want = np.zeros((m, n), np.float64)
+    for g in range(k // gsz):
+        sl = slice(g * gsz, (g + 1) * gsz)
+        want += (xs[:, sl] @ unp[:, sl].T).astype(np.float64) * gs[None, :, g]
+    # integer dots are exact; the f32 group-sum order differs from the
+    # float64 reference accumulation
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-2,
+                               atol=1e-3)
+
+    # and through matmul_t on the bf16 activation path (XLA fallback off-TPU)
+    from fish_speech_tpu.ops.quant import matmul_t
+    x = jnp.asarray(rng.standard_normal((8, k)), jnp.bfloat16)
+    ref = matmul_t(x, qw, w8a8=True)
+    from fish_speech_tpu.ops.w4a8 import matmul_t_w4a8_pallas
+    got2 = matmul_t_w4a8_pallas(x, qw)
+    np.testing.assert_allclose(np.asarray(got2, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=1e-3)

@@ -217,6 +217,21 @@ def main():
     drift_stats("serving_full/prefill", ref[0], got[0])
     drift_stats("serving_full/decode_slow", ref[1], got[1])
     drift_stats("serving_full/decode_fast", ref[2], got[2])
+    del params_f, params_q
+
+    # W4A8: int4 groupwise slow stack (nibble-packed) + W8A8 grouped MXU
+    # dots + int8 KV (flag-gated serving option; BENCH_QUANT=int4). Re-init
+    # from the same seed (int4 must quantize from bf16, not from int8);
+    # per-leaf incremental quantize — the whole-tree program OOMs at 4B.
+    from fish_speech_tpu.ops.quant import quantize_lm_params_incremental
+
+    params_q4 = quantize_lm_params_incremental(
+        init_dual_ar_params(jax.random.key(0), base, dtype=jnp.bfloat16),
+        mode="w4a8")
+    got = run_config(cfg_w, params_q4, fused=False)
+    drift_stats("w4a8_int8kv/prefill", ref[0], got[0])
+    drift_stats("w4a8_int8kv/decode_slow", ref[1], got[1])
+    drift_stats("w4a8_int8kv/decode_fast", ref[2], got[2])
 
 
 if __name__ == "__main__":
