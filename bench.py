@@ -485,7 +485,8 @@ def main():
     if on_tpu:
         batch = int(os.environ.get("BENCH_BATCH", "256"))
         cache_len = int(os.environ.get("BENCH_CACHE", "384"))
-        warmup, iters, steps_per_call = 1, 3, 32
+        warmup, iters = 1, 3
+        steps_per_call = int(os.environ.get("BENCH_STEPS", "32"))
     else:
         batch, cache_len, warmup, iters, steps_per_call = 2, 256, 1, 2, 4
 

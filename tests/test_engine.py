@@ -154,3 +154,44 @@ def test_stream_tts_matches_batch_decode():
         np.testing.assert_allclose(streamed[:n], full[:n], atol=1e-5)
     finally:
         engine.scheduler.stop()
+
+
+def test_vocoder_impl_auto_select():
+    """vocoder_impl='auto' probes pallas vs lax and installs a working
+    winner; all three named impls produce matching audio."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_speech_tpu.codec import init_dac_params, tiny_codec_config
+    from fish_speech_tpu.engine import TTSEngine
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.text import ByteTokenizer
+
+    tok = ByteTokenizer(n_semantic=64)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_dual_ar_config(), vocab_size=tok.vocab_size,
+        semantic_begin_id=tok.semantic_begin_id,
+        semantic_end_id=tok.semantic_end_id)
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    ccfg = tiny_codec_config()
+    cparams = init_dac_params(jax.random.key(1), ccfg)
+
+    engine = TTSEngine(params, cfg, tok, codec_params=cparams,
+                       codec_cfg=ccfg, cache_len=256, vocoder_impl="auto")
+    assert engine.vocoder_impl in ("pallas", "lax")
+    engine.warmup_vocoder(buckets=((1, 32),))
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 16, (ccfg.rvq.total_codebooks, 5)).astype(np.int32)
+    wavs = {}
+    for impl in ("pallas", "lax", "mm"):
+        fn = engine._vocoder_fn(impl)
+        wavs[impl] = np.asarray(
+            fn(cparams, jnp.asarray(codes)[None]))[0, :5 * ccfg.frame_length]
+    np.testing.assert_allclose(wavs["lax"], wavs["mm"], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(wavs["lax"], wavs["pallas"], atol=1e-4,
+                               rtol=1e-4)
