@@ -62,6 +62,25 @@ def conv1d_mm(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
     return y
 
 
+def conv_transpose1d_phases(x: jax.Array, phases: list, b: jax.Array | None,
+                            *, stride: int) -> jax.Array:
+    """conv_transpose1d_mm with the per-lag phase matrices precomputed
+    (pack_decoder "tconv_phases"): phases[j] is (Cin, stride*Cout)."""
+    bsz, t = x.shape[:2]
+    cout = phases[0].shape[1] // stride
+    y = None
+    x_lag = x
+    for j, wj2 in enumerate(phases):
+        term = x_lag @ wj2.astype(x.dtype)
+        y = term if y is None else y + term
+        if j + 1 < len(phases):
+            x_lag = jnp.pad(x_lag, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    y = y.reshape(bsz, t * stride, cout)
+    if b is not None:
+        y = y + b.astype(y.dtype)[None, None, :]
+    return y
+
+
 def conv_transpose1d_mm(x: jax.Array, w: jax.Array, b: jax.Array | None, *,
                         stride: int) -> jax.Array:
     """Causal transposed conv with k == q*stride as q phase-expanded
@@ -195,6 +214,20 @@ def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16) -> dict:
                 [_pad_res_unit(u, cp) for u in block["res_units"]],
                 dtype=dtype),
         })
+    # phase-expanded transposed-conv weights precomputed at pack time: the
+    # per-lag flip/transpose/reshape in conv_transpose1d_mm otherwise runs
+    # per CALL and showed up as weight slice/relayout ops in the xplane
+    for blk, stride in zip(out["blocks"], cfg.decoder_rates):
+        tw = blk["tconv_w"]
+        k_t, cin_p, cout_p = tw.shape
+        q = k_t // stride
+        phases = []
+        for j in range(q):
+            wj = jnp.flip(tw[k_t - (j + 1) * stride: k_t - j * stride],
+                          axis=0)
+            phases.append(jnp.transpose(wj, (1, 0, 2))
+                          .reshape(cin_p, stride * cout_p))
+        blk["tconv_phases"] = phases
     c_last = dims[-1]
     cp_last = _lane_pad(c_last)
     out["snake_alpha"] = jnp.pad(params["snake_alpha"],
@@ -234,8 +267,12 @@ def decoder_pallas(params: dict, cfg: DACConfig, z: jax.Array,
     for pb, stride in zip(packed["blocks"], cfg.decoder_rates):
         # entry snakes of later blocks + the decoder-final snake are fused
         # into the previous stage's kernel (tail_vec); none appear here
-        x = conv_transpose1d_mm(x, pb["tconv_w"], pb["tconv_b"],
-                                stride=stride)
+        if "tconv_phases" in pb:
+            x = conv_transpose1d_phases(x, pb["tconv_phases"],
+                                        pb["tconv_b"], stride=stride)
+        else:
+            x = conv_transpose1d_mm(x, pb["tconv_w"], pb["tconv_b"],
+                                    stride=stride)
         cp = pb["tconv_w"].shape[2]  # static padded channel count
         if cp > 512:
             # 3-unit weight set would blow VMEM: one unit per call
