@@ -198,6 +198,10 @@ def measure_lm(params, cfg, bias, kv_dtype, support, *, batch: int,
     cur = jnp.zeros((batch, cfg.num_codebooks + 1, 1), jnp.int32)
     prev_win = jnp.zeros((batch, RAS_WIN_SIZE), jnp.int32)
     pos = jnp.int32(128)
+    assert 128 + (warmup + iters) * steps_per_call <= cache_len, (
+        f"LM row would overrun the KV cache: 128 + "
+        f"{warmup + iters}x{steps_per_call} > {cache_len}; raise "
+        f"BENCH_CACHE or lower BENCH_STEPS")
 
     t_compile = time.perf_counter()
     for _ in range(warmup):
@@ -256,7 +260,7 @@ def build_vocoder(on_tpu: bool):
     )
     from fish_speech_tpu.codec.model import dac_from_indices
 
-    if _VOC_CACHE:
+    if "tuple" in _VOC_CACHE:
         return _VOC_CACHE["tuple"]
 
     ccfg = s2_pro_codec_config() if on_tpu else tiny_codec_config()
@@ -300,34 +304,29 @@ def _voc_fn(name: str, ccfg, make):
 
 
 def _pick_vocoder_impl(ccfg, cparams, make, *, bv: int = 8, tv: int = 128):
-    """Time each candidate's steady state (2 synced warmup calls to absorb
-    the remote runtime's one-time second-call cost, then 2 timed calls) and
-    return (winner, per-impl seconds)."""
+    """Steady-state probe over the candidate impls (shared policy in
+    utils/probing.py: 2 synced warmup calls absorb compile + the remote
+    runtime's one-time second-call cost, then 2 timed calls)."""
+    from fish_speech_tpu.utils.probing import steady_state_winner
+
     n_q = ccfg.rvq.total_codebooks
     codes = jax.random.randint(jax.random.key(3), (bv, n_q, tv), 0,
                                ccfg.rvq.codebook_size, dtype=jnp.int32)
-    results = {}
-    for name in ("pallas", "lax"):
+
+    def candidate(name):
         fn = _voc_fn(name, ccfg, make)
-        try:
-            prev = jnp.float32(0)
-            t_c = time.perf_counter()
-            for _ in range(2):
-                _, prev = fn(cparams, codes, prev)
-                _ = float(jax.device_get(prev))
-            warm_s = time.perf_counter() - t_c
-            t0 = time.perf_counter()
-            for _ in range(2):
-                _, prev = fn(cparams, codes, prev)
-                _ = float(jax.device_get(prev))
-            results[name] = (time.perf_counter() - t0) / 2
-            print(f"# vocoder impl probe: {name} steady={results[name]:.3f}"
-                  f" s/call warm={warm_s:.1f}s", file=sys.stderr)
-        except Exception as e:
-            print(f"# vocoder impl probe: {name} FAILED: {e}", file=sys.stderr)
-            results[name] = float("inf")
-    winner = min(results, key=results.get)
-    return winner, results
+        prev = [jnp.float32(0)]
+
+        def call():
+            _, prev[0] = fn(cparams, codes, prev[0])
+            _ = float(jax.device_get(prev[0]))
+        return call
+
+    return steady_state_winner(
+        {name: candidate(name) for name in ("pallas", "lax")},
+        on_result=lambda name, s: print(
+            f"# vocoder impl probe: {name} steady={s:.3f} s/call",
+            file=sys.stderr))
 
 
 def measure_e2e(params, cfg, bias, kv_dtype, support, *, batch: int,
@@ -351,11 +350,22 @@ def measure_e2e(params, cfg, bias, kv_dtype, support, *, batch: int,
     bv = frames_per_chunk // tv
     assert bv * tv == frames_per_chunk, (batch, steps_per_call, tv)
     # cap the vocoder batch per dispatch so its activations fit beside the
-    # LM KV cache at large LM batch; multiple voc calls per LM chunk
+    # LM KV cache at large LM batch; multiple voc calls per LM chunk.
+    # n_voc must divide bv exactly — search up from the ceil split
     bv_cap = int(os.environ.get("BENCH_E2E_VOC_BATCH", "16"))
     n_voc = -(-bv // bv_cap)
+    while bv % n_voc:
+        n_voc += 1
     bv = bv // n_voc
     assert bv * tv * n_voc == frames_per_chunk, (bv, tv, n_voc)
+    # the timed loop must fit inside the cache: pos starts at 128 and each
+    # of the max(warmup,2)+iters chunks advances it steps_per_call rows
+    # (silent dynamic_update_slice clamping would measure a corrupted
+    # program, e.g. BENCH_STEPS=64 with the default 384 cache)
+    n_chunks = max(warmup, 2) + iters
+    assert 128 + n_chunks * steps_per_call <= cache_len, (
+        f"e2e would overrun the KV cache: 128 + {n_chunks}x{steps_per_call} "
+        f"> {cache_len}; raise BENCH_E2E_CACHE or lower BENCH_STEPS")
 
     sem_begin, sem_end, im_end = support
     cache = KVCache.create(cfg.n_layer, batch, cache_len, cfg.n_local_heads,
@@ -581,7 +591,7 @@ def main():
     }
     if voc is not None:
         result["vocoder_audio_s_per_s"] = round(voc, 3)
-    if _VOC_CACHE:
+    if "tuple" in _VOC_CACHE:  # "make" alone = build_vocoder died mid-way
         result["vocoder_impl"] = _VOC_CACHE["tuple"][2]
     print(json.dumps(result))
     print(f"# platform={jax.devices()[0].platform}", file=sys.stderr)

@@ -204,30 +204,28 @@ def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16) -> dict:
         cin_prev = tw.shape[1]
         tw = jnp.pad(tw, ((0, 0), (0, _lane_pad(cin_prev) - cin_prev),
                           (0, cp - dim))).astype(dtype)
+        # phase-expanded transposed-conv weights precomputed at pack time
+        # (the per-lag flip/transpose/reshape in conv_transpose1d_mm would
+        # otherwise sit in every call's graph); the raw tconv_w is NOT
+        # kept — phases are its only consumer in decoder_pallas
+        k_t, cin_p, cout_p = tw.shape
+        stride = cfg.decoder_rates[len(out["blocks"])]
+        phases = []
+        for j in range(k_t // stride):
+            wj = jnp.flip(tw[k_t - (j + 1) * stride: k_t - j * stride],
+                          axis=0)
+            phases.append(jnp.transpose(wj, (1, 0, 2))
+                          .reshape(cin_p, stride * cout_p))
         out["blocks"].append({
             "snake_alpha": jnp.pad(
                 block["snake_alpha"], (0, _lane_pad(cin_prev) - cin_prev),
                 constant_values=1.0).astype(jnp.float32),
-            "tconv_w": tw,
+            "tconv_phases": phases,
             "tconv_b": jnp.pad(block["conv_b"], (0, cp - dim)).astype(dtype),
             "res": pack_res_stack(
                 [_pad_res_unit(u, cp) for u in block["res_units"]],
                 dtype=dtype),
         })
-    # phase-expanded transposed-conv weights precomputed at pack time: the
-    # per-lag flip/transpose/reshape in conv_transpose1d_mm otherwise runs
-    # per CALL and showed up as weight slice/relayout ops in the xplane
-    for blk, stride in zip(out["blocks"], cfg.decoder_rates):
-        tw = blk["tconv_w"]
-        k_t, cin_p, cout_p = tw.shape
-        q = k_t // stride
-        phases = []
-        for j in range(q):
-            wj = jnp.flip(tw[k_t - (j + 1) * stride: k_t - j * stride],
-                          axis=0)
-            phases.append(jnp.transpose(wj, (1, 0, 2))
-                          .reshape(cin_p, stride * cout_p))
-        blk["tconv_phases"] = phases
     c_last = dims[-1]
     cp_last = _lane_pad(c_last)
     out["snake_alpha"] = jnp.pad(params["snake_alpha"],
@@ -267,13 +265,9 @@ def decoder_pallas(params: dict, cfg: DACConfig, z: jax.Array,
     for pb, stride in zip(packed["blocks"], cfg.decoder_rates):
         # entry snakes of later blocks + the decoder-final snake are fused
         # into the previous stage's kernel (tail_vec); none appear here
-        if "tconv_phases" in pb:
-            x = conv_transpose1d_phases(x, pb["tconv_phases"],
-                                        pb["tconv_b"], stride=stride)
-        else:
-            x = conv_transpose1d_mm(x, pb["tconv_w"], pb["tconv_b"],
-                                    stride=stride)
-        cp = pb["tconv_w"].shape[2]  # static padded channel count
+        x = conv_transpose1d_phases(x, pb["tconv_phases"],
+                                    pb["tconv_b"], stride=stride)
+        cp = pb["tconv_phases"][0].shape[1] // stride  # padded channels
         if cp > 512:
             # 3-unit weight set would blow VMEM: one unit per call
             for u in range(len(_DILATIONS)):

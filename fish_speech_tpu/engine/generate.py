@@ -207,25 +207,21 @@ class TTSEngine:
         return self._vocoder_fns[impl]
 
     def _select_vocoder_impl(self, probe_frames: int = 64) -> str:
-        """Measure pallas vs lax steady state (2 synced warmup calls absorb
-        the remote runtime's one-time second-call cost, then 2 timed calls)
-        and return the faster — a dispatch pathology can then never make
-        serving slower than the plain-XLA path."""
+        """Measure pallas vs lax steady state (shared probe policy,
+        utils/probing.py) and return the faster — a dispatch pathology can
+        then never make serving slower than the plain-XLA path."""
+        from ..utils.probing import steady_state_winner
+
         n_q = self.codec_cfg.rvq.total_codebooks
         codes = jnp.zeros((1, n_q, probe_frames), jnp.int32)
-        results = {}
-        for impl in ("pallas", "lax"):
-            try:
-                fn = self._vocoder_fn(impl)
-                for _ in range(2):
-                    np.asarray(fn(self.codec_params, codes))
-                t0 = time.perf_counter()
-                for _ in range(2):
-                    np.asarray(fn(self.codec_params, codes))
-                results[impl] = time.perf_counter() - t0
-            except Exception:
-                results[impl] = float("inf")
-        return min(results, key=results.get)
+
+        def candidate(impl):
+            fn = self._vocoder_fn(impl)
+            return lambda: np.asarray(fn(self.codec_params, codes))
+
+        winner, _ = steady_state_winner(
+            {impl: candidate(impl) for impl in ("pallas", "lax")})
+        return winner
 
     def warmup_vocoder(self, buckets=((1, 32), (8, 64))) -> None:
         """Compile + run the serving vocoder TWICE per (batch, frame) bucket

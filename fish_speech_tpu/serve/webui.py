@@ -150,22 +150,32 @@ function recallParams(s) {
   window.scrollTo({top: 0, behavior: 'smooth'});
 }
 // request history with replayable audio + parameter recall (matches the
-// reference SPA's history list); object URLs live for the page session
+// reference SPA's history list); object URLs live until the item is
+// evicted or removed
+function esc(v) {
+  return String(v).replace(/[&<>"']/g, ch => ({
+    '&': '&amp;', '<': '&lt;', '>': '&gt;', '"': '&quot;', "'": '&#39;'
+  }[ch]));
+}
 function addHistory(params, blob, seconds, mime) {
   const list = document.getElementById('hlist');
   const item = document.createElement('div');
   item.className = 'hitem';
   const url = URL.createObjectURL(blob);
+  item.dataset.url = url;
   const when = new Date().toLocaleTimeString();
+  // every interpolated value is escaped: reference ids and params are
+  // user/attacker-controlled strings landing in innerHTML
   item.innerHTML =
-    `<div class="htext">${params.text.replace(/</g, '&lt;')}</div>` +
-    `<div class="hmeta">${when} · ${params.format} · temp ${params.temp} · ` +
-    `top-p ${params.topp} · seed ${params.seed}` +
-    (params.ref ? ` · ref ${params.ref}` : '') +
+    `<div class="htext">${esc(params.text)}</div>` +
+    `<div class="hmeta">${esc(when)} · ${esc(params.format)} · ` +
+    `temp ${esc(params.temp)} · top-p ${esc(params.topp)} · ` +
+    `seed ${esc(params.seed)}` +
+    (params.ref ? ` · ref ${esc(params.ref)}` : '') +
     ` · ${seconds.toFixed(2)}s</div>` +
     `<audio controls src="${url}"></audio>` +
     `<div class="hbtns"><button class="recall">recall params</button>` +
-    `<a download="tts.${params.format}" href="${url}">` +
+    `<a download="tts.${esc(params.format)}" href="${url}">` +
     `<button>download</button></a>` +
     `<button class="hdel">remove</button></div>`;
   item.querySelector('.recall').onclick = () => recallParams(params);
@@ -173,7 +183,12 @@ function addHistory(params, blob, seconds, mime) {
     URL.revokeObjectURL(url); item.remove();
   };
   list.prepend(item);
-  while (list.children.length > 20) list.lastChild.remove();
+  while (list.children.length > 20) {
+    const last = list.lastChild;
+    if (last.dataset && last.dataset.url)
+      URL.revokeObjectURL(last.dataset.url);  // free the evicted blob
+    last.remove();
+  }
 }
 
 document.getElementById('go').onclick = async () => {
