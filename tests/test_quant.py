@@ -341,3 +341,41 @@ def test_w4a8_pallas_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(got2, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=1e-3)
+
+
+def test_incremental_quantize_matches_whole_tree():
+    """quantize_lm_params_incremental (per-leaf jitted, destructive) must
+    produce exactly the same tree as the whole-tree quantize_lm_params for
+    every mode."""
+    from fish_speech_tpu.ops.quant import (
+        as_weight,
+        is_quantized,
+        quantize_lm_params_incremental,
+    )
+
+    cfg = tiny_dual_ar_config()
+    for mode in ("int8", "w4a8"):
+        params = init_dual_ar_params(jax.random.key(3), cfg)
+        want = quantize_lm_params(params, mode=mode, groupsize=16)
+        params2 = init_dual_ar_params(jax.random.key(3), cfg)
+        got = quantize_lm_params_incremental(params2, mode=mode, groupsize=16)
+        assert params2 == {}  # documented destructive contract
+        assert jax.tree_util.tree_structure(want) == \
+            jax.tree_util.tree_structure(got)
+
+        # jit-vs-eager last-ulp scale differences can flip boundary quanta,
+        # so compare the DEQUANTIZED values within one quantization step
+        def leaves(tree):
+            return jax.tree_util.tree_leaves(
+                tree, is_leaf=lambda x: is_quantized(x))
+
+        for a, b in zip(leaves(want), leaves(got)):
+            if is_quantized(a):
+                da = np.asarray(as_weight(a, jnp.float32))
+                db = np.asarray(as_weight(b, jnp.float32))
+                step = float(np.asarray(
+                    a.get("s", a.get("gs"))).max())
+                np.testing.assert_allclose(da, db, atol=1.01 * step)
+            else:
+                assert a.dtype == b.dtype
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
