@@ -20,7 +20,13 @@ def main():
     p.add_argument("--checkpoint", type=Path, required=True)
     p.add_argument("--output", type=Path, default=None,
                    help="default: <checkpoint>-<mode>")
-    p.add_argument("--mode", choices=["int8", "int4"], default="int8")
+    p.add_argument("--mode", choices=["int8", "int4", "w4a8"],
+                   default="int8",
+                   help="int8 = per-channel weight-only; int4 = groupwise "
+                        "native-int4 checkpoint form; w4a8 = the runnable "
+                        "TPU serving form (slow stack int4 nibble-packed "
+                        "in int8, everything else int8 — see "
+                        "ops/quant.py / QUANT_DRIFT.md)")
     p.add_argument("--groupsize", type=int, default=128,
                    help="int4 group size (ref uses g32/g64/g128)")
     args = p.parse_args()
