@@ -379,3 +379,23 @@ def test_incremental_quantize_matches_whole_tree():
             else:
                 assert a.dtype == b.dtype
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_w4a8_checkpoint_roundtrip(tmp_path):
+    """The packed serving form ('q4' int8 leaves) survives save/load in
+    the native checkpoint layout (tools/quantize.py --mode w4a8)."""
+    from fish_speech_tpu.utils.checkpoint import load_params, save_params
+
+    cfg = tiny_dual_ar_config()
+    params = quantize_lm_params(init_dual_ar_params(jax.random.key(0), cfg),
+                                mode="w4a8", groupsize=16)
+    save_params(tmp_path / "w4a8", params, cfg)
+    loaded, _ = load_params(tmp_path / "w4a8")
+    leaf = loaded["layers"]["attention"]["wqkv"]
+    assert "q4" in leaf and leaf["q4"].dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"]["attention"]["wqkv"]["q4"]),
+        np.asarray(leaf["q4"]))
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["attention"]["wqkv"]["gs"]),
+        np.asarray(leaf["gs"]))
