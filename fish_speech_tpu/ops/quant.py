@@ -138,8 +138,16 @@ def matmul_t(x: jax.Array, w, *, w8a8: bool = False) -> jax.Array:
         import numpy as _np
 
         m_total = int(_np.prod(x.shape[:-1]))
+        # Pallas gate: the kernel keeps the full (M, K) int8 activation in
+        # one VMEM block beside the per-tile int32 unpack temps, so admit
+        # only shapes whose activation block is <=4 MB (M=1024 at K=9728 is
+        # ~10 MB and can fail VMEM allocation at compile time even though
+        # M alone looks small); the out dim must also have a lane-aligned
+        # tile (w4a8_matmul searches divisors of n in 128 steps).
         if ("q4" in w and jax.default_backend() == "tpu"
-                and m_total <= 1024):
+                and m_total <= 1024
+                and m_total * x.shape[-1] <= 4 * 1024 * 1024
+                and w["q4"].shape[0] % 128 == 0):
             from .w4a8 import matmul_t_w4a8_pallas
 
             return matmul_t_w4a8_pallas(x, w)

@@ -67,8 +67,14 @@ def w4a8_matmul(x8: jax.Array, q4: jax.Array, gs: jax.Array, *,
     assert m % 32 == 0, m
     if n_tile == 0:
         # VMEM budget: packed tile + int32 unpack temps + unpacked int8 +
-        # x8 + acc must stay well under ~14 MB
-        n_tile = 256 if k > 4096 else 512
+        # x8 + acc must stay well under ~14 MB. Cap, then take the largest
+        # lane-aligned divisor of n so odd out-dims (TP-sharded shapes,
+        # non-4B configs) tile instead of tripping the divisibility assert.
+        cap = min(256 if k > 4096 else 512, n)
+        n_tile = next((t for t in range(cap - cap % 128, 0, -128)
+                       if n % t == 0), 0)
+        if n_tile == 0:
+            raise ValueError(f"no 128-aligned tile divides n={n}")
     n_tile = min(n_tile, n)
     assert n % n_tile == 0, (n, n_tile)
     # transposed scales, sublane-padded: row g holds group g's N scales

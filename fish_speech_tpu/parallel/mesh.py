@@ -122,6 +122,14 @@ def _expand_quant_specs(params: dict, specs: dict) -> dict:
 
     def expand(p, s):
         if is_quantized(p):
+            if "q4" in p:
+                # nibble-packed int4 (w4a8 serving form): byte j of the
+                # packed inner/2 axis holds values j AND j+inner/2
+                # (split-half), so a contiguous mesh split of that axis
+                # does NOT line up with a contiguous activation shard —
+                # replicate the packed axis; out-dim sharding stays.
+                qs = P(*s[:-1], None)
+                return {"q4": qs, "gs": qs}
             out = {"q": s}
             if "s" in p:
                 out["s"] = P(*s[:-1])

@@ -10,11 +10,12 @@ Routes mirror /root/reference/tools/server/views.py:58-480:
   DELETE /v1/references/delete
 
 Concurrency model: the reference dedicates one model-owner thread fed by a
-queue (inference.py:748-799). Here the same role is played by a
-single-worker executor — JAX dispatch for one request at a time, while the
-asyncio loop streams bytes to any number of clients. Batched multi-request
-decoding lands with the continuous-batching scheduler (engine/) in a later
-round.
+queue (inference.py:748-799). Here the device is owned either by a
+single-worker executor (one request at a time) or — when the engine is
+built with a continuous-batching scheduler (engine/scheduler.py) — by the
+scheduler thread, which interleaves many requests' decode ticks and
+chunked prefills; the asyncio loop streams bytes to any number of clients
+in both modes.
 """
 
 from __future__ import annotations

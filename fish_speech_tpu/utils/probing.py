@@ -21,6 +21,7 @@ def steady_state_winner(candidates: "dict[str, Callable[[], object]]", *,
     (winner_name, {name: seconds_per_call}); failing candidates score inf.
     """
     results: dict[str, float] = {}
+    errors: dict[str, Exception] = {}
     for name, call in candidates.items():
         try:
             for _ in range(warmup_calls):
@@ -29,9 +30,17 @@ def steady_state_winner(candidates: "dict[str, Callable[[], object]]", *,
             for _ in range(timed_calls):
                 call()
             results[name] = (time.perf_counter() - t0) / timed_calls
-        except Exception:
+        except Exception as e:  # scored inf; kept for the all-failed error
             results[name] = float("inf")
+            errors[name] = e
         if on_result is not None:
             on_result(name, results[name])
     winner = min(results, key=results.get)
+    if results[winner] == float("inf"):
+        # every candidate failed: installing any of them would defer the
+        # failure to the first user request with the probe exception lost
+        raise RuntimeError(
+            "all probe candidates failed: "
+            + "; ".join(f"{n}: {e!r}" for n, e in errors.items())
+        ) from next(iter(errors.values()), None)
     return winner, results

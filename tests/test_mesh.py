@@ -159,6 +159,66 @@ def test_quantized_param_specs_descend():
         groupsize=16)
     shard_dual_ar_params(params4, mesh)
 
+    # w4a8 nibble-packed variant ({"q4","gs"} leaves, ADVICE r4 medium):
+    # spec tree must use the q4 key, and the packed inner/2 axis must stay
+    # replicated (split-half packing breaks contiguous inner-dim splits)
+    from jax.sharding import PartitionSpec as P
+    from fish_speech_tpu.parallel.mesh import dual_ar_param_specs
+    params48 = quantize_lm_params(
+        init_dual_ar_params(jax.random.key(0), cfg), mode="w4a8",
+        groupsize=16)
+    specs48 = dual_ar_param_specs(params48)
+    w2 = specs48["layers"]["feed_forward"]["w2"]
+    assert set(w2) == {"q4", "gs"}
+    assert w2["q4"][-1] is None  # packed axis replicated
+    sharded48 = shard_dual_ar_params(params48, mesh)
+    assert sharded48["layers"]["feed_forward"]["w2"]["q4"].shape == \
+        params48["layers"]["feed_forward"]["w2"]["q4"].shape
+
+
+def test_tp_w4a8_decode_matches_single_device():
+    """w4a8 ({"q4","gs"}) checkpoints must also serve under TP: greedy
+    stream sharded DPxTP == single-device (ADVICE r4 medium — weight
+    placement used to crash on the q4 pytree)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.models.config import tiny_dual_ar_config
+    from fish_speech_tpu.models.decode import SamplingConfig, generate
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+    from fish_speech_tpu.ops.sampling import semantic_logit_bias
+    from fish_speech_tpu.parallel.mesh import (
+        MeshConfig, create_mesh, shard_dual_ar_params)
+    from ref_harness import random_lm_prompt
+
+    cfg = dataclasses.replace(
+        tiny_dual_ar_config(),
+        n_head=8, n_local_heads=4, fast_n_head=4, fast_n_local_heads=4,
+        dim=128, head_dim=16, fast_dim=64, fast_head_dim=16,
+        w8a8_matmuls=True)
+    params = quantize_lm_params(
+        init_dual_ar_params(jax.random.key(0), cfg), mode="w4a8",
+        groupsize=16)
+    prompt = random_lm_prompt(cfg, 12, np.random.default_rng(3))
+    bias = semantic_logit_bias(cfg.vocab_size, cfg.semantic_begin_id,
+                               cfg.semantic_end_id, 4)
+
+    def run(p):
+        import jax.numpy as jnp
+        codes, _ = generate(
+            p, cfg, jnp.asarray(prompt)[None], jnp.zeros((1,), jnp.int32),
+            jax.random.key(0), SamplingConfig.create(), bias,
+            max_new_tokens=5, im_end_id=4, greedy=True)
+        return np.asarray(codes)
+
+    single = run(params)
+    mesh = create_mesh(MeshConfig(data=2, model=4))
+    with jax.sharding.set_mesh(mesh):
+        sharded = run(shard_dual_ar_params(params, mesh))
+    np.testing.assert_array_equal(single, sharded)
+
 
 def test_unrolled_decode_matches_scan():
     """The unrolled layer loop (in-place cache) must equal the scan path."""
