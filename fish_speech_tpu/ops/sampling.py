@@ -37,13 +37,30 @@ def _per_row(x) -> jax.Array:
     return x[:, None] if x.ndim == 1 else x
 
 
+def _mask_topk_rows(vals: jax.Array, top_k_row) -> jax.Array:
+    """Per-row effective top-k inside a static top-k ROOF: `vals` is the
+    (B, roof) descending candidate matrix; masking positions >= k_row to
+    -inf is bit-identical to having extracted lax.top_k(logits, k_row)
+    (later candidates never influence the kept prefix's cumsum). Lets one
+    compiled program serve requests with different top_k (scheduler path).
+    top_k_row: None (no-op), scalar, or (B,) int."""
+    if top_k_row is None:
+        return vals
+    k = jnp.asarray(top_k_row, jnp.int32)
+    pos = jnp.arange(vals.shape[-1], dtype=jnp.int32)
+    keep = pos[None, :] < (k[:, None] if k.ndim == 1 else k)
+    return jnp.where(keep, vals, -jnp.inf)
+
+
 def sample_one(key: jax.Array, logits: jax.Array, temperature: jax.Array,
-               top_p: jax.Array, top_k: int) -> jax.Array:
+               top_p: jax.Array, top_k: int,
+               top_k_row=None) -> jax.Array:
     """Sample one token per row. logits: (B, V) fp32; temperature/top_p may
     be scalars or per-row (B,). Returns (B,) int32."""
     logits = logits.astype(jnp.float32)
     z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)          # full softmax Z
     vals, idx = jax.lax.top_k(logits, top_k)                       # (B, k) desc
+    vals = _mask_topk_rows(vals, top_k_row)
     cum = jnp.cumsum(jnp.exp(vals - z), axis=-1)
     remove = cum > _per_row(top_p)
     remove = remove.at[:, 0].set(False)                            # always keep top-1
@@ -62,7 +79,7 @@ def greedy_one(logits: jax.Array) -> jax.Array:
 
 def sample_main_and_high(key: jax.Array, logits: jax.Array,
                          temperature: jax.Array, top_p: jax.Array,
-                         top_k: int):
+                         top_k: int, top_k_row=None):
     """Draw the normal-params sample AND the RAS high-temperature fallback
     from ONE top-k/logsumexp pass (the candidate set is identical for both;
     the reference runs two full passes, inference.py:120-132). Distributions
@@ -70,6 +87,7 @@ def sample_main_and_high(key: jax.Array, logits: jax.Array,
     logits = logits.astype(jnp.float32)
     z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
     vals, idx = jax.lax.top_k(logits, top_k)
+    vals = _mask_topk_rows(vals, top_k_row)
     cum = jnp.cumsum(jnp.exp(vals - z), axis=-1)
 
     def draw(k, temp, tp):

@@ -224,34 +224,50 @@ class TTSApp:
 
             loop = asyncio.get_running_loop()
             queue: asyncio.Queue = asyncio.Queue()
+            # set when the client goes away: the producer closes its
+            # generator, which cancels the decode slot (stream_tts's
+            # finally) — an abandoned stream must not decode to its full
+            # token budget under continuous batching
+            import threading
+
+            client_gone = threading.Event()
 
             def produce():
+                if self.engine.scheduler is not None:
+                    # token-level streaming: audio every ~16 frames
+                    gen = self.engine.stream_tts(gen_req)
+                    emit = iter(gen)
+                else:
+                    gen = self.engine.generate_long(gen_req)
+                    emit = (float_to_pcm16(self.engine.decode_codes(r.codes))
+                            for r in gen if r.action == "sample")
                 try:
-                    if self.engine.scheduler is not None:
-                        # token-level streaming: audio every ~16 frames
-                        for wav in self.engine.stream_tts(gen_req):
-                            loop.call_soon_threadsafe(
-                                queue.put_nowait, float_to_pcm16(wav))
-                    else:
-                        for r in self.engine.generate_long(gen_req):
-                            if r.action == "sample":
-                                wav = self.engine.decode_codes(r.codes)
-                                loop.call_soon_threadsafe(
-                                    queue.put_nowait, float_to_pcm16(wav))
+                    for item in emit:
+                        if client_gone.is_set():
+                            return
+                        body = (item if isinstance(item, bytes)
+                                else float_to_pcm16(item))
+                        loop.call_soon_threadsafe(queue.put_nowait, body)
                     loop.call_soon_threadsafe(queue.put_nowait, None)
                 except Exception as e:  # surface errors to the stream consumer
                     loop.call_soon_threadsafe(queue.put_nowait, e)
+                finally:
+                    gen.close()  # cancels the slot on abandonment
 
             fut = loop.run_in_executor(self.executor, produce)
-            while True:
-                chunk = await queue.get()
-                if chunk is None:
-                    break
-                if isinstance(chunk, Exception):
-                    raise web.HTTPInternalServerError(text=str(chunk))
-                await resp.write(chunk)
-            await fut
-            await resp.write_eof()
+            try:
+                while True:
+                    chunk = await queue.get()
+                    if chunk is None:
+                        break
+                    if isinstance(chunk, Exception):
+                        raise web.HTTPInternalServerError(text=str(chunk))
+                    await resp.write(chunk)
+                await fut
+                await resp.write_eof()
+            except (ConnectionResetError, asyncio.CancelledError):
+                client_gone.set()
+                raise
             return resp
 
         def work():

@@ -38,12 +38,23 @@ class SlotAssignment:
     max_new_tokens: int
     temperature: float
     top_p: float
+    # full request surface so every host runs the IDENTICAL assign path
+    # (per-slot top_k device mask; prefix-cached prefill vs full prefill)
+    top_k: int = 30
+    prefix_id: str | None = None
+    prefix_len: int = 0
 
 
 @dataclass
 class TickPlan:
     assignments: list[SlotAssignment] = field(default_factory=list)
     n_ticks: int = 1             # decode ticks to run before the next sync
+    # slots whose requests the leader observed as cancelled: replicated in
+    # the plan so every host frees the same slots the same tick (a
+    # leader-local sweep would diverge device state across hosts)
+    cancels: list[int] = field(default_factory=list)
+    # leader shutting down: followers exit their loop
+    shutdown: bool = False
 
     def to_bytes(self) -> bytes:
         return pickle.dumps(self)
@@ -90,18 +101,129 @@ def apply_plan(batcher, plan: TickPlan, request_registry: dict | None = None):
         if req is None:
             req = SlotRequest(request_id=a.request_id, prompt=a.prompt,
                               max_new_tokens=a.max_new_tokens,
-                              temperature=a.temperature, top_p=a.top_p)
+                              temperature=a.temperature, top_p=a.top_p,
+                              top_k=a.top_k, prefix_id=a.prefix_id,
+                              prefix_len=a.prefix_len)
             if request_registry is not None:
                 request_registry[a.request_id] = req
         batcher._assign(req, a.slot)
+    # replicate leader-observed cancellations: mark the slot's local request
+    # cancelled so the tick-entry sweep frees the same slots on every host
+    for slot in plan.cancels:
+        req = batcher.slot_req[slot]
+        if req is not None:
+            req.cancelled.set()
+    if plan.cancels:
+        batcher.sweep_cancelled()
     if plan.n_ticks > 0 and batcher.has_active():
         # one chunked dispatch per plan: hosts stay in lockstep with a single
         # device program per sync window instead of n_ticks separate ticks
         batcher.step_chunk(plan.n_ticks)
 
 
-def run_follower_loop(batcher):
-    """Follower main loop: receive plans forever and mirror the leader."""
-    while True:
+def run_follower_loop(batcher, stop=None):
+    """Follower main loop: receive plans forever and mirror the leader.
+    `stop`: optional threading.Event-like for tests; production followers
+    run until the process exits."""
+    batcher.local_sweep = False  # cancellation arrives via plan only
+    while stop is None or not stop.is_set():
         plan = broadcast_plan(None)
         apply_plan(batcher, plan, request_registry=None)
+        if plan.shutdown:
+            return
+
+
+class MultihostSchedulerThread:
+    """Leader-side model-owner thread for multi-host serving: the drop-in
+    `SchedulerThread` counterpart whose every device action goes through a
+    broadcast `TickPlan`, so follower hosts (in `run_follower_loop`) execute
+    identical programs in lockstep. The reference punts multi-node serving
+    to SGLang (ref README.md:130-137); here it is a served mode:
+    `tools/api_server.py --multihost` (leader = process 0 owns HTTP).
+
+    Heartbeats: followers sit inside `broadcast_one_to_all` between plans,
+    so the idle leader must keep broadcasting empty plans — the interval
+    bounds both follower collective-wait time and new-request latency."""
+
+    def __init__(self, batcher, poll_s: float = 0.002,
+                 chunk_steps: int = 8, heartbeat_s: float = 0.2):
+        import queue as _queue
+        import threading
+
+        assert batcher.prefill_chunk is None, \
+            "multihost serving does not carry chunked-prefill state in plans"
+        self.batcher = batcher
+        batcher.local_sweep = False  # cancellation goes through the plan
+        self.queue: "_queue.Queue" = _queue.Queue()
+        self.registry: dict = {}
+        self.poll_s = poll_s
+        self.chunk_steps = max(1, chunk_steps)
+        self.heartbeat_s = heartbeat_s
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, req):
+        self.queue.put(req)
+        return req
+
+    def _build_plan(self) -> TickPlan:
+        import queue as _queue
+
+        b = self.batcher
+        assignments = []
+        for slot in b.free_slots():
+            req = None
+            while req is None:
+                try:
+                    req = self.queue.get_nowait()
+                except _queue.Empty:
+                    break
+                if req.cancelled.is_set():
+                    b.cancelled_requests += 1
+                    req.done.set()
+                    req = None
+            if req is None:
+                break
+            self.registry[req.request_id] = req
+            assignments.append(SlotAssignment(
+                slot=slot, request_id=req.request_id, prompt=req.prompt,
+                max_new_tokens=req.max_new_tokens,
+                temperature=req.temperature, top_p=req.top_p,
+                top_k=req.top_k, prefix_id=req.prefix_id,
+                prefix_len=req.prefix_len))
+        cancels = [s for s in range(b.num_slots)
+                   if b.slot_req[s] is not None
+                   and b.slot_req[s].cancelled.is_set()]
+        active = b.has_active() or bool(assignments)
+        return TickPlan(assignments=assignments,
+                        n_ticks=self.chunk_steps if active else 0,
+                        cancels=cancels)
+
+    def _loop(self):
+        import time
+
+        last_bcast = 0.0
+        while not self._stop.is_set():
+            plan = self._build_plan()
+            busy = plan.assignments or plan.cancels or plan.n_ticks
+            now = time.monotonic()
+            if busy or now - last_bcast >= self.heartbeat_s:
+                broadcast_plan(plan)
+                apply_plan(self.batcher, plan, self.registry)
+                last_bcast = now
+                # drop finished requests from the registry
+                for rid in [r for r, q in self.registry.items()
+                            if q.done.is_set()]:
+                    del self.registry[rid]
+            if not busy:
+                time.sleep(self.poll_s)
+
+    def stop(self):
+        self._stop.set()
+        self.thread.join(timeout=10)
+        # release followers from their blocking broadcast
+        try:
+            broadcast_plan(TickPlan(n_ticks=0, shutdown=True))
+        except Exception:
+            pass

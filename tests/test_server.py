@@ -324,3 +324,80 @@ def test_chunked_prefill_serving(tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_streaming_disconnect_cancels_slot(tmp_path):
+    """A streaming client that disconnects mid-generation must free its
+    decode slot (request cancelled) instead of decoding to its full token
+    budget (VERDICT r5 item 3)."""
+    import time
+
+    tok = ByteTokenizer(n_semantic=64)
+    cfg = DualARConfig(
+        vocab_size=tok.vocab_size,
+        n_layer=1, n_head=2, n_local_heads=2, dim=32, head_dim=16,
+        intermediate_size=64, max_seq_len=512,
+        codebook_size=64, num_codebooks=4,
+        semantic_begin_id=tok.semantic_begin_id,
+        semantic_end_id=tok.semantic_end_id,
+        n_fast_layer=1, fast_dim=32, fast_n_head=2, fast_n_local_heads=2,
+        fast_head_dim=16, fast_intermediate_size=64,
+    )
+    params = init_dual_ar_params(jax.random.key(0), cfg)
+    ccfg = tiny_codec_config()
+    cparams = init_dac_params(jax.random.key(1), ccfg)
+    engine = TTSEngine(params, cfg, tok, codec_params=cparams, codec_cfg=ccfg,
+                       cache_len=512, scheduler_slots=1)
+    batcher = engine.scheduler.batcher
+    # random weights emit im_end almost immediately — disable the stop token
+    # so the request really runs toward its 400-token budget and the ONLY
+    # way the slot frees early is cancellation
+    batcher.im_end_id = 10 ** 9
+    batcher.rebuild_programs()
+    # throttle ticks: the tiny CPU model would otherwise burn the whole
+    # budget while the vocoder is still compiling, leaving no window in
+    # which to observe the disconnect
+    orig_step = batcher.step
+
+    def slow_step():
+        time.sleep(0.01)
+        orig_step()
+
+    batcher.step = slow_step
+    app = create_app(engine)
+
+    async def scenario():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # huge budget: without cancellation this decodes for ages
+            resp = await client.post("/v1/tts", json={
+                "text": "abandon me", "max_new_tokens": 400,
+                "temperature": 0.1, "top_p": 0.1, "streaming": True,
+                "format": "pcm", "chunk_length": 200})
+            assert resp.status == 200
+            # read one chunk so generation is definitely under way
+            async for _ in resp.content.iter_chunked(1 << 12):
+                break
+            assert batcher.active_h.any()
+            resp.close()  # client walks away
+
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                if (not batcher.active_h.any()
+                        and batcher.cancelled_requests >= 1):
+                    break
+                await asyncio.sleep(0.02)
+            assert batcher.cancelled_requests >= 1
+            assert not batcher.active_h.any()   # slot reusable
+            # and the freed slot serves a fresh request end-to-end
+            r = await client.post("/v1/tts", json={
+                "text": "hi again", "max_new_tokens": 4,
+                "chunk_length": 200})
+            assert r.status == 200
+            assert (await r.read())[:4] == b"RIFF"
+        finally:
+            await client.close()
+            engine.scheduler.stop()
+
+    _run(scenario())

@@ -109,7 +109,8 @@ def build_engine(args):
                      scheduler_slots=getattr(args, "scheduler_slots", 0),
                      scheduler_chunk=getattr(args, "scheduler_chunk", 1),
                      prefill_chunk=getattr(args, "prefill_chunk", None),
-                     vocoder_impl=getattr(args, "vocoder_impl", "auto"))
+                     vocoder_impl=getattr(args, "vocoder_impl", "auto"),
+                     multihost=getattr(args, "multihost", False))
 
 
 def main():
@@ -157,13 +158,48 @@ def main():
                         default="head",
                         help="pos = position-major KV cache: contiguous "
                              "per-step writes (needs --pallas-attn stream)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host serving via jax.distributed: "
+                             "process 0 serves HTTP and broadcasts TickPlans"
+                             "; other processes mirror its device programs "
+                             "(needs --scheduler-slots, --coordinator, "
+                             "--num-processes, --process-id)")
+    parser.add_argument("--coordinator", default=None,
+                        help="jax.distributed coordinator host:port "
+                             "(--multihost)")
+    parser.add_argument("--num-processes", type=int, default=1)
+    parser.add_argument("--process-id", type=int, default=0)
     args = parser.parse_args()
 
     from aiohttp import web
 
     from fish_speech_tpu.serve.app import create_app
 
+    if args.multihost:
+        import jax
+
+        if args.scheduler_slots <= 0:
+            raise SystemExit("--multihost needs --scheduler-slots N")
+        if args.coordinator is None:
+            raise SystemExit("--multihost needs --coordinator host:port")
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
+
     engine = build_engine(args)
+
+    if args.multihost:
+        import jax
+
+        if jax.process_index() != 0:
+            # follower: mirror the leader's plans forever (no HTTP)
+            from fish_speech_tpu.serve.multihost import run_follower_loop
+
+            print(f"multihost follower {jax.process_index()}/"
+                  f"{jax.process_count()}: mirroring leader plans",
+                  flush=True)
+            run_follower_loop(engine.follower_batcher)
+            return
     # warm-up: compile the decode path before accepting traffic
     # (ref tools/server/model_manager.py:80-93); the vocoder is run TWICE
     # per bucket so the remote runtime's one-time second-call cost is

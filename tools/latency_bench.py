@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--kv-layout", choices=["head", "pos"], default="head")
     ap.add_argument("--chunk-frames", type=int, default=8,
                     help="acoustic frames per emitted audio chunk")
+    ap.add_argument("--first-chunk-frames", type=int, default=4,
+                    help="frames in the FIRST audio chunk (smaller = lower "
+                         "TTFA; 0 disables the small-first-chunk schedule)")
     ap.add_argument("--scheduler-chunk", type=int, default=1,
                     help="decode ticks per device dispatch")
     ap.add_argument("--slots", type=int, default=2)
@@ -136,7 +139,9 @@ def main():
         t0 = time.perf_counter()
         ttfa = None
         samples = 0
-        for wav in engine.stream_tts(req, chunk_frames=args.chunk_frames):
+        for wav in engine.stream_tts(req, chunk_frames=args.chunk_frames,
+                                     first_chunk_frames=(
+                                         args.first_chunk_frames or None)):
             if ttfa is None and len(wav):
                 ttfa = time.perf_counter() - t0
             samples += len(wav)
@@ -155,6 +160,7 @@ def main():
         "audio_s": round(audio_s, 3),
         "platform": jax.devices()[0].platform,
         "chunk_frames": args.chunk_frames,
+        "first_chunk_frames": args.first_chunk_frames,
         "scheduler_chunk": args.scheduler_chunk,
     }))
     engine.scheduler.stop()
