@@ -216,15 +216,22 @@ def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16) -> dict:
                           axis=0)
             phases.append(jnp.transpose(wj, (1, 0, 2))
                           .reshape(cin_p, stride * cout_p))
+        res = pack_res_stack(
+            [_pad_res_unit(u, cp) for u in block["res_units"]], dtype=dtype)
+        if cp <= 512 and len(phases) == 2:
+            # fused-block form (ops/voc_fused.fused_block): stacked phase
+            # weights + the bias tiled per phase, matching the kernel's
+            # (n_in, stride*C) accumulator layout
+            res["tconv_pw"] = jnp.stack(phases)
+            bias = jnp.pad(block["conv_b"], (0, cp - dim)).astype(jnp.float32)
+            res["tconv_pb"] = jnp.tile(bias, stride)[None, :]
         out["blocks"].append({
             "snake_alpha": jnp.pad(
                 block["snake_alpha"], (0, _lane_pad(cin_prev) - cin_prev),
                 constant_values=1.0).astype(jnp.float32),
             "tconv_phases": phases,
             "tconv_b": jnp.pad(block["conv_b"], (0, cp - dim)).astype(dtype),
-            "res": pack_res_stack(
-                [_pad_res_unit(u, cp) for u in block["res_units"]],
-                dtype=dtype),
+            "res": res,
         })
     c_last = dims[-1]
     cp_last = _lane_pad(c_last)
@@ -252,7 +259,7 @@ def decoder_pallas(params: dict, cfg: DACConfig, z: jax.Array,
     convs as phase-expanded matmuls, entirely in lane-padded channel space.
     Numerics: bf16 dots, f32 accumulation (same contraction content as the
     conv path; parity tested)."""
-    from ..ops.voc_fused import fused_res_stack
+    from ..ops.voc_fused import fused_block, fused_res_stack
 
     if packed is None:
         packed = pack_decoder(params, cfg, dtype=z.dtype)
@@ -265,14 +272,23 @@ def decoder_pallas(params: dict, cfg: DACConfig, z: jax.Array,
     for pb, stride in zip(packed["blocks"], cfg.decoder_rates):
         # entry snakes of later blocks + the decoder-final snake are fused
         # into the previous stage's kernel (tail_vec); none appear here
+        cp = pb["tconv_phases"][0].shape[1] // stride  # padded channels
+        if "tconv_pw" in pb["res"]:
+            # whole block (tconv + units + tail) in one pallas_call: no
+            # post-tconv HBM round-trip (the chained form paid ~100 ms per
+            # decode in stage-boundary fusions/DMA outside the kernels)
+            cap = 2048 if cp <= 128 else (1024 if cp <= 256 else 512)
+            x = fused_block(x, pb["res"], stride=stride,
+                            tt=_tile_for(x.shape[1] * stride, cap),
+                            dilations=_DILATIONS, tail_vec=pb["tail_vec"])
+            continue
         x = conv_transpose1d_phases(x, pb["tconv_phases"],
                                     pb["tconv_b"], stride=stride)
-        cp = pb["tconv_phases"][0].shape[1] // stride  # padded channels
         if cp > 512:
             # 3-unit weight set would blow VMEM: one unit per call
             for u in range(len(_DILATIONS)):
                 sub = {k: v[u:u + 1] for k, v in pb["res"].items()
-                       if k != "tail_vec"}
+                       if k not in ("tail_vec", "tconv_pw", "tconv_pb")}
                 last = u == len(_DILATIONS) - 1
                 x = fused_res_stack(x, sub, tt=_tile_for(x.shape[1], 256),
                                     dilations=(_DILATIONS[u],),

@@ -92,6 +92,43 @@ def _snake(x, alpha, inv_alpha):
     return x + s2 * inv_alpha
 
 
+def _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, *, tt: int, halo: int,
+               dilations: tuple[int, ...], c: int, tail: bool):
+    """The residual-unit sweep shared by both kernels: consume `cur`
+    ((halo+tt, C), I/O dtype) and return the final TT valid rows.
+
+    State stays in the I/O dtype (bf16 serving): matches the reference's
+    bf16 activations exactly (conv accumulation still f32 via the dots);
+    halves VMEM traffic and VPU work vs carrying f32 state."""
+    wt = w7_ref.dtype
+    pad = halo
+    for u, d in enumerate(dilations):
+        rf = 6 * d
+        n = pad + tt - rf                       # rows valid after this conv
+        a1 = vec_ref[u, 0][None, :]
+        ia1 = vec_ref[u, 1][None, :]
+        a2 = vec_ref[u, 2][None, :]
+        ia2 = vec_ref[u, 3][None, :]
+        s = _snake(cur.astype(jnp.float32), a1, ia1).astype(wt)
+        acc = jnp.broadcast_to(vec_ref[u, 4][None, :], (n, c)).astype(jnp.float32)
+        for i in range(7):
+            acc = acc + jax.lax.dot(s[i * d: i * d + n], w7_ref[u, i],
+                                    preferred_element_type=jnp.float32)
+        s2 = _snake(acc, a2, ia2).astype(w1_ref.dtype)
+        y = jax.lax.dot(s2, w1_ref[u], preferred_element_type=jnp.float32)
+        y = y + vec_ref[u, 5][None, :]
+        cur = (cur[rf:].astype(jnp.float32) + y).astype(cur.dtype)
+        pad -= rf
+    out = cur[pad:]
+    if tail:
+        # the next stage's entry snake (or the decoder-final snake) fused
+        # here: it is consumed only by the following transposed conv, and
+        # XLA's own sin lowering on these tensor sizes costs 10-100 ms
+        out = _snake(out.astype(jnp.float32), tail_ref[0][None, :],
+                     tail_ref[1][None, :]).astype(out.dtype)
+    return out
+
+
 def _res_stack_kernel(x_hbm, w7_ref, w1_ref, vec_ref, tail_ref, y_ref,
                       xbuf, sem, *, tt: int, halo: int,
                       dilations: tuple[int, ...], c: int, tail: bool):
@@ -121,37 +158,131 @@ def _res_stack_kernel(x_hbm, w7_ref, w1_ref, vec_ref, tail_ref, y_ref,
         copy_for(nxt_b, nxt_j, 1 - slot).start()
 
     copy_for(b, j, slot).wait()
-    # state stays in the I/O dtype (bf16 serving): matches the reference's
-    # bf16 activations exactly (conv accumulation still f32 via the dots);
-    # halves VMEM traffic and VPU work vs carrying f32 state
-    wt = w7_ref.dtype
     cur = xbuf[slot][...]                       # (halo+tt, C)
-    pad = halo
-    for u, d in enumerate(dilations):
-        rf = 6 * d
-        n = pad + tt - rf                       # rows valid after this conv
-        a1 = vec_ref[u, 0][None, :]
-        ia1 = vec_ref[u, 1][None, :]
-        a2 = vec_ref[u, 2][None, :]
-        ia2 = vec_ref[u, 3][None, :]
-        s = _snake(cur.astype(jnp.float32), a1, ia1).astype(wt)
-        acc = jnp.broadcast_to(vec_ref[u, 4][None, :], (n, c)).astype(jnp.float32)
-        for i in range(7):
-            acc = acc + jax.lax.dot(s[i * d: i * d + n], w7_ref[u, i],
-                                    preferred_element_type=jnp.float32)
-        s2 = _snake(acc, a2, ia2).astype(w1_ref.dtype)
-        y = jax.lax.dot(s2, w1_ref[u], preferred_element_type=jnp.float32)
-        y = y + vec_ref[u, 5][None, :]
-        cur = (cur[rf:].astype(jnp.float32) + y).astype(cur.dtype)
-        pad -= rf
-    out = cur[pad:]
-    if tail:
-        # the next stage's entry snake (or the decoder-final snake) fused
-        # here: it is consumed only by the following transposed conv, and
-        # XLA's own sin lowering on these tensor sizes costs 10-100 ms
-        out = _snake(out.astype(jnp.float32), tail_ref[0][None, :],
-                     tail_ref[1][None, :]).astype(out.dtype)
-    y_ref[0] = out.astype(y_ref.dtype)
+    y_ref[0] = _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, tt=tt,
+                          halo=halo, dilations=dilations, c=c,
+                          tail=tail).astype(y_ref.dtype)
+
+
+def _block_kernel(x_hbm, pw_ref, pb_ref, w7_ref, w1_ref, vec_ref, tail_ref,
+                  y_ref, xbuf, sem, *, tt: int, halo: int, pad_in: int,
+                  stride: int, dilations: tuple[int, ...], c: int,
+                  tail: bool):
+    """Whole decoder block in one kernel: transposed conv (2 phase dots +
+    reshape), residual-unit stack, fused tail snake.
+
+    The input is the PRE-tconv activation (entry snake already applied by the
+    previous stage's tail), left-padded with `pad_in` zero rows in XLA. Each
+    grid step DMAs `pad_in + tt/stride` input rows, computes the two
+    phase-expanded lag dots (ref modded_dac.py:712-801 tconv; the q=2 phase
+    identity is derived in codec/fastpath.conv_transpose1d_mm), reshapes the
+    (n_in, stride*C) f32 accumulator to time-major (n_in*stride, C) — a pure
+    row-major relayout Mosaic supports at C % 128 == 0 — and runs the unit
+    sweep on it. This removes the whole stage-boundary HBM round trip (write
+    + pad-copy + re-read of the post-tconv activation) that dominated the
+    chained-program cost (~100 ms/decode measured outside the kernels)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    n_b = pl.num_programs(0)
+    slot = (b * n_j + j) % 2
+    tt_in = tt // stride
+    l_in = pad_in + tt_in
+
+    def copy_for(bb, jj, sl):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(jj * tt_in, l_in)], xbuf.at[sl], sem.at[sl])
+
+    @pl.when(jnp.logical_and(b == 0, j == 0))
+    def _():
+        copy_for(0, 0, 0).start()
+
+    nxt_j = jnp.where(j + 1 < n_j, j + 1, 0)
+    nxt_b = jnp.where(j + 1 < n_j, b, b + 1)
+
+    @pl.when(jnp.logical_or(nxt_j > 0, nxt_b < n_b))
+    def _():
+        copy_for(nxt_b, nxt_j, 1 - slot).start()
+
+    copy_for(b, j, slot).wait()
+    n_in = (halo + tt) // stride
+    a = pad_in - halo // stride
+    rows0 = xbuf[slot][a: a + n_in]             # lag 0
+    rows1 = xbuf[slot][a - 1: a - 1 + n_in]     # lag 1 (zero row at t=0)
+    acc = jax.lax.dot(rows0, pw_ref[0], preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot(rows1, pw_ref[1],
+                            preferred_element_type=jnp.float32)
+    acc = acc + pb_ref[0][None, :]
+    cur = jnp.reshape(acc, (halo + tt, c))
+    # the first tile's halo rows model jnp.pad's zeros, not tconv output
+    # (bias included) of zero inputs — mask them
+    row = jax.lax.broadcasted_iota(jnp.int32, (halo + tt, 1), 0)
+    cur = jnp.where(jnp.logical_or(j > 0, row >= halo), cur, 0.0)
+    cur = cur.astype(xbuf.dtype)
+    y_ref[0] = _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, tt=tt,
+                          halo=halo, dilations=dilations, c=c,
+                          tail=tail).astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("stride", "tt", "dilations", "interpret"))
+def fused_block(x: jax.Array, packed: dict, *, stride: int, tt: int = 512,
+                dilations: tuple[int, ...] = _DILATIONS,
+                tail_vec: jax.Array | None = None,
+                interpret: bool | None = None) -> jax.Array:
+    """One decoder block (tconv k=2*stride + 3 residual units [+ tail snake])
+    as a single pallas_call. x: (B, T_in, C_in) pre-tconv activation; packed
+    needs "tconv_pw" (2, C_in, stride*C), "tconv_pb" (1, stride*C) f32 and
+    the pack_res_stack keys. Returns (B, T_in*stride, C) in x.dtype.
+
+    Numerics are identical to conv_transpose1d_phases + fused_res_stack
+    (same dots, f32 accumulation, bf16 state) — parity is tested in
+    tests/test_codec_fastpath.py."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t_in, c_in = x.shape
+    pw = packed["tconv_pw"]
+    c = pw.shape[2] // stride
+    t = t_in * stride
+    assert t % tt == 0 and tt % stride == 0, (t, tt, stride)
+    halo = halo_for(dilations)
+    assert halo % stride == 0, (halo, stride)
+    pad_in = -(-(halo // stride + 1) // 16) * 16
+    xp = jnp.pad(x, ((0, 0), (pad_in, 0), (0, 0)))
+
+    tail = tail_vec is not None
+    if tail_vec is None:
+        tail_vec = jnp.ones((2, c), jnp.float32)
+    kernel = functools.partial(_block_kernel, tt=tt, halo=halo,
+                               pad_in=pad_in, stride=stride,
+                               dilations=tuple(dilations), c=c, tail=tail)
+    weight_bytes = sum(int(packed[k].size) * packed[k].dtype.itemsize
+                       for k in ("tconv_pw", "w7", "w1"))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, t // tt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tt, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, pad_in + tt // stride, c_in), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 * 2 ** 20,
+                                 weight_bytes + 24 * 2 ** 20)),
+        interpret=interpret,
+    )(xp, pw, packed["tconv_pb"], packed["w7"], packed["w1"], packed["vec"],
+      tail_vec)
 
 
 @functools.partial(jax.jit, static_argnames=("tt", "dilations", "interpret"))
