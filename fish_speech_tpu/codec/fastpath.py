@@ -249,6 +249,14 @@ def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16) -> dict:
                                 ((0, 0), (0, cp_last - c_last),
                                  (0, 0))).astype(dtype)
     out["conv_out_b"] = params["conv_out_b"].astype(dtype)
+    if "tconv_pw" in out["blocks"][-1]["res"]:
+        # decoder-final conv (k, C, 1) + bias row, fused into the last
+        # block's kernel (ops/voc_fused fk path)
+        fw = jnp.pad(params["conv_out_w"][:, :, 0],
+                     ((0, 0), (0, cp_last - c_last))).astype(jnp.float32)
+        bias_row = jnp.zeros((1, cp_last), jnp.float32
+                             ).at[0, 0].set(params["conv_out_b"][0])
+        out["final_fw"] = jnp.concatenate([fw, bias_row])
     return out
 
 
@@ -269,7 +277,8 @@ def decoder_pallas(params: dict, cfg: DACConfig, z: jax.Array,
     # 9.5 ms vs 115 ms bf16 at 33M elements; this tensor is ~6M)
     a0 = packed["blocks"][0]["snake_alpha"]
     x = snake(x.astype(jnp.float32), a0).astype(x.dtype)
-    for pb, stride in zip(packed["blocks"], cfg.decoder_rates):
+    for bi, (pb, stride) in enumerate(zip(packed["blocks"],
+                                          cfg.decoder_rates)):
         # entry snakes of later blocks + the decoder-final snake are fused
         # into the previous stage's kernel (tail_vec); none appear here
         cp = pb["tconv_phases"][0].shape[1] // stride  # padded channels
@@ -278,8 +287,16 @@ def decoder_pallas(params: dict, cfg: DACConfig, z: jax.Array,
             # post-tconv HBM round-trip (the chained form paid ~100 ms per
             # decode in stage-boundary fusions/DMA outside the kernels)
             cap = 2048 if cp <= 128 else (1024 if cp <= 256 else 512)
-            x = fused_block(x, pb["res"], stride=stride,
-                            tt=_tile_for(x.shape[1] * stride, cap),
+            tt = _tile_for(x.shape[1] * stride, cap)
+            last = bi == len(packed["blocks"]) - 1
+            if last and "final_fw" in packed and tt % 128 == 0:
+                # decoder-final conv+tanh fused too: kernel emits waveform
+                wave = fused_block(x, pb["res"], stride=stride, tt=tt,
+                                   dilations=_DILATIONS,
+                                   tail_vec=pb["tail_vec"],
+                                   final_w=packed["final_fw"])
+                return wave[..., None]
+            x = fused_block(x, pb["res"], stride=stride, tt=tt,
                             dilations=_DILATIONS, tail_vec=pb["tail_vec"])
             continue
         x = conv_transpose1d_phases(x, pb["tconv_phases"],

@@ -93,9 +93,12 @@ def _snake(x, alpha, inv_alpha):
 
 
 def _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, *, tt: int, halo: int,
-               dilations: tuple[int, ...], c: int, tail: bool):
+               dilations: tuple[int, ...], c: int, tail: bool,
+               extra: int = 0):
     """The residual-unit sweep shared by both kernels: consume `cur`
-    ((halo+tt, C), I/O dtype) and return the final TT valid rows.
+    ((halo+tt, C), I/O dtype) and return the final TT valid rows (plus
+    `extra` left-context rows for a fused follow-on conv; the stack's halo
+    leaves 18 spare rows after three dilated units).
 
     State stays in the I/O dtype (bf16 serving): matches the reference's
     bf16 activations exactly (conv accumulation still f32 via the dots);
@@ -119,7 +122,8 @@ def _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, *, tt: int, halo: int,
         y = y + vec_ref[u, 5][None, :]
         cur = (cur[rf:].astype(jnp.float32) + y).astype(cur.dtype)
         pad -= rf
-    out = cur[pad:]
+    assert pad >= extra, (pad, extra)
+    out = cur[pad - extra:]
     if tail:
         # the next stage's entry snake (or the decoder-final snake) fused
         # here: it is consumed only by the following transposed conv, and
@@ -165,9 +169,9 @@ def _res_stack_kernel(x_hbm, w7_ref, w1_ref, vec_ref, tail_ref, y_ref,
 
 
 def _block_kernel(x_hbm, pw_ref, pb_ref, w7_ref, w1_ref, vec_ref, tail_ref,
-                  y_ref, xbuf, sem, *, tt: int, halo: int, pad_in: int,
-                  stride: int, dilations: tuple[int, ...], c: int,
-                  tail: bool):
+                  fw_ref, y_ref, xbuf, sem, *, tt: int, halo: int,
+                  pad_in: int, stride: int, dilations: tuple[int, ...],
+                  c: int, tail: bool, fk: int):
     """Whole decoder block in one kernel: transposed conv (2 phase dots +
     reshape), residual-unit stack, fused tail snake.
 
@@ -219,9 +223,25 @@ def _block_kernel(x_hbm, pw_ref, pb_ref, w7_ref, w1_ref, vec_ref, tail_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (halo + tt, 1), 0)
     cur = jnp.where(jnp.logical_or(j > 0, row >= halo), cur, 0.0)
     cur = cur.astype(xbuf.dtype)
-    y_ref[0] = _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, tt=tt,
-                          halo=halo, dilations=dilations, c=c,
-                          tail=tail).astype(y_ref.dtype)
+    if fk == 0:
+        y_ref[0] = _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, tt=tt,
+                              halo=halo, dilations=dilations, c=c,
+                              tail=tail).astype(y_ref.dtype)
+        return
+    # fused decoder-final conv (k=fk, C -> 1) + tanh: the chained form costs
+    # fk multiply-reduce fusions that each re-read the full (B, T, C)
+    # activation from HBM (~20 ms/decode measured at (32,128)) plus the
+    # kernel's own 2 GB output write; here the activation never leaves VMEM
+    # and the kernel writes the (B, T) waveform directly.
+    ext = _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, tt=tt,
+                     halo=halo, dilations=dilations, c=c, tail=tail,
+                     extra=fk - 1).astype(jnp.float32)   # (tt+fk-1, C)
+    m = ext[0: tt] * fw_ref[0][None, :]
+    for i in range(1, fk):
+        m = m + ext[i: i + tt] * fw_ref[i][None, :]
+    wave = jnp.sum(jnp.reshape(m, (tt // 128, 128, c)), axis=-1)
+    wave = jnp.tanh(wave + fw_ref[fk, 0])
+    y_ref[0] = wave.astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -229,11 +249,14 @@ def _block_kernel(x_hbm, pw_ref, pb_ref, w7_ref, w1_ref, vec_ref, tail_ref,
 def fused_block(x: jax.Array, packed: dict, *, stride: int, tt: int = 512,
                 dilations: tuple[int, ...] = _DILATIONS,
                 tail_vec: jax.Array | None = None,
+                final_w: jax.Array | None = None,
                 interpret: bool | None = None) -> jax.Array:
     """One decoder block (tconv k=2*stride + 3 residual units [+ tail snake])
     as a single pallas_call. x: (B, T_in, C_in) pre-tconv activation; packed
     needs "tconv_pw" (2, C_in, stride*C), "tconv_pb" (1, stride*C) f32 and
-    the pack_res_stack keys. Returns (B, T_in*stride, C) in x.dtype.
+    the pack_res_stack keys. Returns (B, T_in*stride, C) in x.dtype — or,
+    with final_w ((k+1, C) f32: k conv_out rows + a bias row), the fused
+    decoder-final conv+tanh waveform (B, T_in*stride) instead.
 
     Numerics are identical to conv_transpose1d_phases + fused_res_stack
     (same dots, f32 accumulation, bf16 state) — parity is tested in
@@ -245,7 +268,9 @@ def fused_block(x: jax.Array, packed: dict, *, stride: int, tt: int = 512,
     c = pw.shape[2] // stride
     t = t_in * stride
     assert t % tt == 0 and tt % stride == 0, (t, tt, stride)
-    halo = halo_for(dilations)
+    fk0 = 0 if final_w is None else final_w.shape[0] - 1
+    # the fused final conv consumes fk-1 extra left-context rows
+    halo = -(-(6 * sum(dilations) + max(fk0 - 1, 0)) // 16) * 16
     assert halo % stride == 0, (halo, stride)
     pad_in = -(-(halo // stride + 1) // 16) * 16
     xp = jnp.pad(x, ((0, 0), (pad_in, 0), (0, 0)))
@@ -253,12 +278,25 @@ def fused_block(x: jax.Array, packed: dict, *, stride: int, tt: int = 512,
     tail = tail_vec is not None
     if tail_vec is None:
         tail_vec = jnp.ones((2, c), jnp.float32)
+    fk = 0 if final_w is None else final_w.shape[0] - 1
+    if final_w is None:
+        final_w = jnp.zeros((1, c), jnp.float32)
+    if fk:
+        assert tt % 128 == 0, tt
+        out_specs = pl.BlockSpec((1, tt // 128, 128), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, t // 128, 128), x.dtype)
+    else:
+        out_specs = pl.BlockSpec((1, tt, c), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, t, c), x.dtype)
     kernel = functools.partial(_block_kernel, tt=tt, halo=halo,
                                pad_in=pad_in, stride=stride,
-                               dilations=tuple(dilations), c=c, tail=tail)
+                               dilations=tuple(dilations), c=c, tail=tail,
+                               fk=fk)
     weight_bytes = sum(int(packed[k].size) * packed[k].dtype.itemsize
                        for k in ("tconv_pw", "w7", "w1"))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, t // tt),
         in_specs=[
@@ -269,10 +307,10 @@ def fused_block(x: jax.Array, packed: dict, *, stride: int, tt: int = 512,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tt, c), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, pad_in + tt // stride, c_in), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -282,7 +320,8 @@ def fused_block(x: jax.Array, packed: dict, *, stride: int, tt: int = 512,
                                  weight_bytes + 24 * 2 ** 20)),
         interpret=interpret,
     )(xp, pw, packed["tconv_pb"], packed["w7"], packed["w1"], packed["vec"],
-      tail_vec)
+      tail_vec, final_w)
+    return out.reshape(b, t) if fk else out
 
 
 @functools.partial(jax.jit, static_argnames=("tt", "dilations", "interpret"))
