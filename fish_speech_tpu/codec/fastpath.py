@@ -25,6 +25,8 @@ All functions take the same parameter pytrees as codec/model.py.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -218,7 +220,8 @@ def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16) -> dict:
                           .reshape(cin_p, stride * cout_p))
         res = pack_res_stack(
             [_pad_res_unit(u, cp) for u in block["res_units"]], dtype=dtype)
-        if cp <= 512 and len(phases) == 2:
+        if cp <= int(os.environ.get("VOC_FUSED_BLOCK_MAX_C", "512")) \
+                and len(phases) == 2:
             # fused-block form (ops/voc_fused.fused_block): stacked phase
             # weights + the bias tiled per phase, matching the kernel's
             # (n_in, stride*C) accumulator layout

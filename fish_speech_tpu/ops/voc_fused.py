@@ -66,17 +66,19 @@ def pack_res_stack(units: list[dict], dtype=jnp.bfloat16) -> dict:
     return {"w7": w7, "w1": w1, "vec": jnp.stack([vec(u) for u in units])}
 
 
-# sin^2(pi t) over t in [-1, 1] as a degree-8 polynomial in v = t^2:
-# max abs error 3.2e-7 (least-squares fit on 400k points) — four orders of
-# magnitude below bf16 rounding, i.e. numerically indistinguishable from
-# jnp.sin here. The VPU's real sin measured as 2/3 of the whole kernel's
-# runtime (57 -> 17 ms at C=128 with snakes removed); this is ~13 cheap ops.
+# sin^2(pi t) over t in [-1, 1] as a degree-7 polynomial in v = t^2:
+# max abs error 8.9e-6 (least-squares fit on 400k points) — still ~450x
+# below bf16 rounding (the kernel state dtype), i.e. numerically
+# indistinguishable from jnp.sin here; one degree lower than the original
+# 3.2e-7 fit shaves a horner step off the VPU's hottest loop (snakes are
+# ~17% of decoder kernel time). The VPU's real sin measured as 2/3 of the
+# whole kernel's runtime (57 -> 17 ms at C=128 with snakes removed).
 # Range reduction truncates via an int32 round-trip: jnp.floor inside a
 # Mosaic kernel lowers to a ~7000x slower scalar path (measured 10.8 s vs
 # 1.6 ms for a (1024,128) tile), and the classic magic-constant trick
 # ((y + 1.5*2^23) - 1.5*2^23) is folded away by XLA's algebraic simplifier.
-_S2C = (9.8695971, -32.469450, 42.725542, -30.106179, 13.162649,
-        -3.8590640, 0.75673261, -0.079827846)
+_S2C = (9.86943246, -32.46507037, 42.68612315, -29.93828299, 12.78106835,
+        -3.38355759, 0.45029592)
 _INV_PI = 0.3183098861837907
 
 
@@ -85,8 +87,8 @@ def _snake(x, alpha, inv_alpha):
     y = alpha * x * _INV_PI
     t = y - y.astype(jnp.int32).astype(jnp.float32)   # frac, t in (-1, 1)
     v = t * t
-    s2 = _S2C[7]
-    for cc in _S2C[6::-1]:
+    s2 = _S2C[-1]
+    for cc in _S2C[-2::-1]:
         s2 = cc + v * s2
     s2 = v * s2
     return x + s2 * inv_alpha
@@ -171,7 +173,8 @@ def _res_stack_kernel(x_hbm, w7_ref, w1_ref, vec_ref, tail_ref, y_ref,
 def _block_kernel(x_hbm, pw_ref, pb_ref, w7_ref, w1_ref, vec_ref, tail_ref,
                   fw_ref, y_ref, xbuf, sem, *, tt: int, halo: int,
                   pad_in: int, stride: int, dilations: tuple[int, ...],
-                  c: int, tail: bool, fk: int):
+                  c: int, tail: bool, fk: int, prepadded: bool,
+                  n_tiles: int):
     """Whole decoder block in one kernel: transposed conv (2 phase dots +
     reshape), residual-unit stack, fused tail snake.
 
@@ -193,22 +196,72 @@ def _block_kernel(x_hbm, pw_ref, pb_ref, w7_ref, w1_ref, vec_ref, tail_ref,
     tt_in = tt // stride
     l_in = pad_in + tt_in
 
-    def copy_for(bb, jj, sl):
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(jj * tt_in, l_in)], xbuf.at[sl], sem.at[sl])
+    # the input is normally NOT pre-padded (an XLA halo pad copies the whole
+    # activation: 6-9 ms/decode across stages at (32,128)); the first tile
+    # of each batch row instead zero-fills its pad_in context rows in VMEM
+    # and DMAs only the tt_in real rows. Tiny shapes (tt_in < pad_in, where
+    # interior tiles would need negative starts) fall back to a pre-padded
+    # input (prepadded=True).
+    if prepadded:
+        def start(bb, jj, sl):
+            pltpu.make_async_copy(x_hbm.at[bb, pl.ds(jj * tt_in, l_in)],
+                                  xbuf.at[sl], sem.at[sl]).start()
+
+        def wait(bb, jj, sl):
+            pltpu.make_async_copy(x_hbm.at[bb, pl.ds(jj * tt_in, l_in)],
+                                  xbuf.at[sl], sem.at[sl]).wait()
+    else:
+        def first_copy(bb, sl):
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(0, tt_in)],
+                xbuf.at[sl, pl.ds(pad_in, tt_in)], sem.at[sl])
+
+        def body_copy(bb, jj, sl):
+            # start expressed as 16*(...) so Mosaic's divisibility analysis
+            # can prove sublane alignment (jj*tt_in - pad_in defeats it)
+            start16 = (jj * (tt_in // 16) - pad_in // 16) * 16
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(start16, l_in)],
+                xbuf.at[sl], sem.at[sl])
+
+        def start(bb, jj, sl):
+            @pl.when(jj == 0)
+            def _():
+                first_copy(bb, sl).start()
+
+            if n_tiles > 1:  # body_copy's slice is illegal when T_in < l_in
+                @pl.when(jj > 0)
+                def _():
+                    body_copy(bb, jj, sl).start()
+
+        def wait(bb, jj, sl):
+            @pl.when(jj == 0)
+            def _():
+                first_copy(bb, sl).wait()
+
+            if n_tiles > 1:
+                @pl.when(jj > 0)
+                def _():
+                    body_copy(bb, jj, sl).wait()
 
     @pl.when(jnp.logical_and(b == 0, j == 0))
     def _():
-        copy_for(0, 0, 0).start()
+        start(0, 0, 0)
 
     nxt_j = jnp.where(j + 1 < n_j, j + 1, 0)
     nxt_b = jnp.where(j + 1 < n_j, b, b + 1)
 
     @pl.when(jnp.logical_or(nxt_j > 0, nxt_b < n_b))
     def _():
-        copy_for(nxt_b, nxt_j, 1 - slot).start()
+        start(nxt_b, nxt_j, 1 - slot)
 
-    copy_for(b, j, slot).wait()
+    wait(b, j, slot)
+
+    if not prepadded:
+        @pl.when(j == 0)
+        def _():
+            xbuf[slot, pl.ds(0, pad_in)] = jnp.zeros(
+                (pad_in, xbuf.shape[2]), xbuf.dtype)
     n_in = (halo + tt) // stride
     a = pad_in - halo // stride
     rows0 = xbuf[slot][a: a + n_in]             # lag 0
@@ -218,10 +271,11 @@ def _block_kernel(x_hbm, pw_ref, pb_ref, w7_ref, w1_ref, vec_ref, tail_ref,
                             preferred_element_type=jnp.float32)
     acc = acc + pb_ref[0][None, :]
     cur = jnp.reshape(acc, (halo + tt, c))
-    # the first tile's halo rows model jnp.pad's zeros, not tconv output
-    # (bias included) of zero inputs — mask them
+    # rows before the sequence start model jnp.pad's zeros, not tconv output
+    # (bias included) of zero inputs — mask them (when tt < halo this
+    # reaches past the first tile: local row r is global j*tt + r - halo)
     row = jax.lax.broadcasted_iota(jnp.int32, (halo + tt, 1), 0)
-    cur = jnp.where(jnp.logical_or(j > 0, row >= halo), cur, 0.0)
+    cur = jnp.where(row >= halo - j * tt, cur, 0.0)
     cur = cur.astype(xbuf.dtype)
     if fk == 0:
         y_ref[0] = _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, tt=tt,
@@ -273,12 +327,14 @@ def fused_block(x: jax.Array, packed: dict, *, stride: int, tt: int = 512,
     halo = -(-(6 * sum(dilations) + max(fk0 - 1, 0)) // 16) * 16
     assert halo % stride == 0, (halo, stride)
     pad_in = -(-(halo // stride + 1) // 16) * 16
-    xp = jnp.pad(x, ((0, 0), (pad_in, 0), (0, 0)))
-
+    # non-prepadded DMA needs interior starts >= 0 and 16-aligned tiles
+    prepadded = tt // stride < pad_in or (tt // stride) % 16 != 0
+    if prepadded:
+        x = jnp.pad(x, ((0, 0), (pad_in, 0), (0, 0)))
     tail = tail_vec is not None
     if tail_vec is None:
         tail_vec = jnp.ones((2, c), jnp.float32)
-    fk = 0 if final_w is None else final_w.shape[0] - 1
+    fk = fk0
     if final_w is None:
         final_w = jnp.zeros((1, c), jnp.float32)
     if fk:
@@ -293,14 +349,14 @@ def fused_block(x: jax.Array, packed: dict, *, stride: int, tt: int = 512,
     kernel = functools.partial(_block_kernel, tt=tt, halo=halo,
                                pad_in=pad_in, stride=stride,
                                dilations=tuple(dilations), c=c, tail=tail,
-                               fk=fk)
+                               fk=fk, prepadded=prepadded, n_tiles=t // tt)
     weight_bytes = sum(int(packed[k].size) * packed[k].dtype.itemsize
                        for k in ("tconv_pw", "w7", "w1"))
     out = pl.pallas_call(
         kernel,
         grid=(b, t // tt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -319,7 +375,7 @@ def fused_block(x: jax.Array, packed: dict, *, stride: int, tt: int = 512,
             vmem_limit_bytes=min(100 * 2 ** 20,
                                  weight_bytes + 24 * 2 ** 20)),
         interpret=interpret,
-    )(xp, pw, packed["tconv_pb"], packed["w7"], packed["w1"], packed["vec"],
+    )(x, pw, packed["tconv_pb"], packed["w7"], packed["w1"], packed["vec"],
       tail_vec, final_w)
     return out.reshape(b, t) if fk else out
 

@@ -72,3 +72,57 @@ def test_fast_snake_matches_sin():
         # poly fit 6.9e-7 + f32 range-reduction rounding (|x| up to 50);
         # bf16 rounding on these magnitudes is ~4e-3, i.e. 100x larger
         assert err < 2e-5 / a + 2e-5, (a, err)
+
+
+def test_fused_block_matches_chained_path():
+    """fused_block (tconv + units [+ final conv] in one kernel) must match
+    conv_transpose1d_mm + the reference unit stack — including the
+    non-prepadded DMA branch (tt/stride >= pad_in) used at serving shapes."""
+    from fish_speech_tpu.codec.fastpath import conv_transpose1d_mm
+    from fish_speech_tpu.codec.nn import snake
+    from fish_speech_tpu.ops.voc_fused import fused_block
+
+    c_in, c, stride, t_in, b = 128, 128, 2, 144, 2
+    rng = _Rng(jax.random.key(7))
+    units = [_res_unit_p(rng, c) for _ in _DILATIONS]
+    tw = jax.random.normal(jax.random.key(8), (2 * stride, c_in, c)) * 0.1
+    tb = jax.random.normal(jax.random.key(9), (c,)) * 0.1
+    x = jax.random.normal(jax.random.key(10), (b, t_in, c_in), jnp.float32)
+
+    packed = pack_res_stack(units, dtype=jnp.float32)
+    k_t = 2 * stride
+    phases = []
+    for j in range(k_t // stride):
+        wj = jnp.flip(tw[k_t - (j + 1) * stride: k_t - j * stride], axis=0)
+        phases.append(jnp.transpose(wj, (1, 0, 2)).reshape(c_in, stride * c))
+    packed["tconv_pw"] = jnp.stack(phases)
+    packed["tconv_pb"] = jnp.tile(tb.astype(jnp.float32), stride)[None, :]
+
+    ref = conv_transpose1d_mm(x, tw, tb, stride=stride)
+    ref = _ref_stack(units, ref)
+
+    # tt=96 -> tt/stride=48 >= pad_in=48: the zero-fill DMA branch
+    got = fused_block(x, packed, stride=stride, tt=96)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    # tile independence across the prepadded/non-prepadded boundary
+    got32 = fused_block(x, packed, stride=stride, tt=32)  # prepadded branch
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(got),
+                               atol=2e-5, rtol=2e-5)
+
+    # fused final conv + tanh (fk path, tt % 128 == 0)
+    fkw = jax.random.normal(jax.random.key(11), (7, c)) * 0.1
+    fkb = jnp.float32(0.03)
+    final_w = jnp.concatenate(
+        [fkw, jnp.zeros((1, c)).at[0, 0].set(fkb)]).astype(jnp.float32)
+    from fish_speech_tpu.codec.fastpath import conv1d_mm
+    xf = x[:, :128]
+    reff = conv_transpose1d_mm(xf, tw, tb, stride=stride)
+    reff = _ref_stack(units, reff)
+    ref_wave = jnp.tanh(conv1d_mm(reff, fkw[:, :, None],
+                                  fkb[None]))[..., 0]
+    got_wave = fused_block(xf, packed, stride=stride, tt=128,
+                           final_w=final_w)
+    np.testing.assert_allclose(np.asarray(got_wave), np.asarray(ref_wave),
+                               atol=2e-4, rtol=2e-4)
