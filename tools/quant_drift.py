@@ -58,6 +58,111 @@ def drift_stats(name: str, ref: np.ndarray, got: np.ndarray) -> dict:
     return out
 
 
+def make_teacher_forced_inputs(base, batch: int, prompt_len: int,
+                               steps: int, seed: int = 0):
+    """Fixed-seed semantic-range prompt + forced continuation columns."""
+    sem_begin, sem_end = base.semantic_begin_id, base.semantic_end_id
+    rng = np.random.default_rng(seed)
+    prompt = np.concatenate([
+        rng.integers(sem_begin, sem_end + 1, (batch, 1, prompt_len)),
+        rng.integers(0, base.codebook_size,
+                     (batch, base.num_codebooks, prompt_len)),
+    ], axis=1).astype(np.int32)
+    forced = np.concatenate([
+        rng.integers(sem_begin, sem_end + 1, (batch, 1, steps)),
+        rng.integers(0, base.codebook_size, (batch, base.num_codebooks,
+                                             steps)),
+    ], axis=1).astype(np.int32)
+    return prompt, forced
+
+
+def run_teacher_forced(cfg, params, prompt: np.ndarray, forced: np.ndarray,
+                       cache_len: int, *, fused: bool,
+                       support: tuple | None = None):
+    """Teacher-forced prefill + N cached decode steps.
+    Returns (prefill slow logits over support, per-step slow logits,
+    per-step fast-head logits for codebook 1).
+
+    All KV caches are created EAGERLY outside the jitted program: on the
+    TPU backend, a zeros-init created inside jit and threaded through the
+    carry-mode layer scan gets its zero fill elided, leaving
+    uninitialized memory at unfilled slots — masked scores keep those
+    columns out of the softmax, but prob(0) x NaN-garbage still poisons
+    the attention output (verified: 3+ layer 4B bf16 prefill produced
+    all-NaN hidden states with in-jit cache creation and is clean with
+    eager creation)."""
+    from fish_speech_tpu.models.dual_ar import (
+        KVCache,
+        forward_generate,
+        forward_generate_fast,
+        precompute_freqs_cis,
+    )
+    from fish_speech_tpu.ops.fast_fused import FusedFastCache
+
+    if support is None:
+        support = (cfg.semantic_begin_id, cfg.semantic_end_id, 5)
+    b, _, t = prompt.shape
+    s = cache_len
+    freqs = precompute_freqs_cis(s, cfg.head_dim, cfg.rope_base)
+    fast_freqs = precompute_freqs_cis(cfg.num_codebooks, cfg.fast_head_dim,
+                                      cfg.rope_base)
+    prompt_d = jnp.asarray(prompt)
+    forced_d = jnp.asarray(forced)
+    kv_dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
+                else jnp.bfloat16)
+    cache0 = KVCache.create(cfg.n_layer, b, s, cfg.n_local_heads,
+                            cfg.head_dim, dtype=kv_dtype,
+                            pos_major=cfg.kv_cache_layout == "pos")
+    if fused:
+        fc0 = FusedFastCache.create(cfg.n_fast_layer, cfg.num_codebooks,
+                                    -(-b // 8) * 8, cfg.fast_dim)
+    else:
+        fc0 = KVCache.create(cfg.n_fast_layer, b, cfg.num_codebooks,
+                             cfg.fast_n_local_heads, cfg.fast_head_dim,
+                             dtype=kv_dtype)
+
+    @jax.jit
+    def go(params, prompt, forced, cache, fc0):
+        out = forward_generate(params, cfg, prompt, cache, jnp.int32(0),
+                               freqs, logit_support=support)
+        prefill_logits = out.logits[:, -1].astype(jnp.float32)
+        cache = out.cache
+
+        def step(carry, col):
+            cache, pos = carry
+            o = forward_generate(params, cfg, col[:, :, None], cache,
+                                 pos, freqs, logit_support=support)
+            # fast head: prime with hidden, read codebook-1 logits.
+            # fc0 is the eagerly-zeroed template (see docstring); steps
+            # only ever write rows 0-1, so reusing it is exact.
+            from fish_speech_tpu.ops.quant import take_rows
+
+            if fused:
+                _, fc = forward_generate_fast(
+                    params, cfg, o.hidden[:, -1], fc0, 0, fast_freqs,
+                    want_logits=False)
+                emb = take_rows(params["fast_embeddings"], col[:, 1])
+                fl, _ = forward_generate_fast(params, cfg, emb, fc, 1,
+                                              fast_freqs)
+            else:
+                _, fc = forward_generate_fast(
+                    params, cfg, o.hidden[:, -1], fc0, jnp.int32(0),
+                    fast_freqs, want_logits=False)
+                emb = take_rows(params["fast_embeddings"], col[:, 1])
+                fl, _ = forward_generate_fast(params, cfg, emb, fc,
+                                              jnp.int32(1), fast_freqs)
+            return ((o.cache, pos + 1),
+                    (o.logits[:, -1].astype(jnp.float32),
+                     fl.astype(jnp.float32)))
+
+        (_, _), (slow_l, fast_l) = jax.lax.scan(
+            step, (cache, jnp.int32(t)), forced.transpose(2, 0, 1))
+        return prefill_logits, slow_l, fast_l
+
+    pre, slow_l, fast_l = go(params, prompt_d, forced_d, cache0, fc0)
+    return (np.asarray(pre), np.asarray(slow_l), np.asarray(fast_l))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=0,
@@ -74,12 +179,6 @@ def main():
         apply_pallas_attn_mode,
         s2_pro_lm_config,
     )
-    from fish_speech_tpu.models.dual_ar import (
-        KVCache,
-        forward_generate,
-        forward_generate_fast,
-        precompute_freqs_cis,
-    )
     from fish_speech_tpu.models.init import init_dual_ar_params
     from fish_speech_tpu.ops.fast_fused import enable_fused_fast_head
     from fish_speech_tpu.ops.quant import quantize_lm_params
@@ -95,90 +194,11 @@ def main():
     support = (sem_begin, sem_end, 5)
 
     b, t, s = args.batch, args.prompt_len, args.cache_len
-    rng = np.random.default_rng(0)
-    prompt = np.concatenate([
-        rng.integers(sem_begin, sem_end + 1, (b, 1, t)),
-        rng.integers(0, base.codebook_size, (b, base.num_codebooks, t)),
-    ], axis=1).astype(np.int32)
-    forced = np.concatenate([
-        rng.integers(sem_begin, sem_end + 1, (b, 1, args.steps)),
-        rng.integers(0, base.codebook_size, (b, base.num_codebooks,
-                                              args.steps)),
-    ], axis=1).astype(np.int32)
-    prompt_d = jnp.asarray(prompt)
-    forced_d = jnp.asarray(forced)
-    freqs = precompute_freqs_cis(s, base.head_dim, base.rope_base)
-    fast_freqs = precompute_freqs_cis(base.num_codebooks, base.fast_head_dim,
-                                      base.rope_base)
+    prompt, forced = make_teacher_forced_inputs(base, b, t, args.steps)
 
     def run_config(cfg, params, fused: bool):
-        """Teacher-forced prefill + N cached decode steps.
-        Returns (prefill slow logits over support, per-step slow logits,
-        per-step fast-head logits for codebook 1).
-
-        All KV caches are created EAGERLY outside the jitted program: on the
-        TPU backend, a zeros-init created inside jit and threaded through the
-        carry-mode layer scan gets its zero fill elided, leaving
-        uninitialized memory at unfilled slots — masked scores keep those
-        columns out of the softmax, but prob(0) x NaN-garbage still poisons
-        the attention output (verified: 3+ layer 4B bf16 prefill produced
-        all-NaN hidden states with in-jit cache creation and is clean with
-        eager creation)."""
-        kv_dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
-                    else jnp.bfloat16)
-        cache0 = KVCache.create(cfg.n_layer, b, s, cfg.n_local_heads,
-                                cfg.head_dim, dtype=kv_dtype,
-                                pos_major=cfg.kv_cache_layout == "pos")
-        from fish_speech_tpu.ops.fast_fused import FusedFastCache
-
-        if fused:
-            fc0 = FusedFastCache.create(cfg.n_fast_layer, cfg.num_codebooks,
-                                        -(-b // 8) * 8, cfg.fast_dim)
-        else:
-            fc0 = KVCache.create(cfg.n_fast_layer, b, cfg.num_codebooks,
-                                 cfg.fast_n_local_heads, cfg.fast_head_dim,
-                                 dtype=kv_dtype)
-
-        @jax.jit
-        def go(params, prompt, forced, cache, fc0):
-            out = forward_generate(params, cfg, prompt, cache, jnp.int32(0),
-                                   freqs, logit_support=support)
-            prefill_logits = out.logits[:, -1].astype(jnp.float32)
-            cache = out.cache
-
-            def step(carry, col):
-                cache, pos = carry
-                o = forward_generate(params, cfg, col[:, :, None], cache,
-                                     pos, freqs, logit_support=support)
-                # fast head: prime with hidden, read codebook-1 logits.
-                # fc0 is the eagerly-zeroed template (see docstring); steps
-                # only ever write rows 0-1, so reusing it is exact.
-                from fish_speech_tpu.ops.quant import take_rows
-
-                if fused:
-                    _, fc = forward_generate_fast(
-                        params, cfg, o.hidden[:, -1], fc0, 0, fast_freqs,
-                        want_logits=False)
-                    emb = take_rows(params["fast_embeddings"], col[:, 1])
-                    fl, _ = forward_generate_fast(params, cfg, emb, fc, 1,
-                                                  fast_freqs)
-                else:
-                    _, fc = forward_generate_fast(
-                        params, cfg, o.hidden[:, -1], fc0, jnp.int32(0),
-                        fast_freqs, want_logits=False)
-                    emb = take_rows(params["fast_embeddings"], col[:, 1])
-                    fl, _ = forward_generate_fast(params, cfg, emb, fc,
-                                                  jnp.int32(1), fast_freqs)
-                return ((o.cache, pos + 1),
-                        (o.logits[:, -1].astype(jnp.float32),
-                         fl.astype(jnp.float32)))
-
-            (_, _), (slow_l, fast_l) = jax.lax.scan(
-                step, (cache, jnp.int32(t)), forced.transpose(2, 0, 1))
-            return prefill_logits, slow_l, fast_l
-
-        pre, slow_l, fast_l = go(params, prompt_d, forced_d, cache0, fc0)
-        return (np.asarray(pre), np.asarray(slow_l), np.asarray(fast_l))
+        return run_teacher_forced(cfg, params, prompt, forced, s,
+                                  fused=fused, support=support)
 
     print(f"# shape: layers={base.n_layer} dim={base.dim} "
           f"fast_layers={base.n_fast_layer} B={b} T={t} steps={args.steps}",
