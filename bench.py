@@ -92,9 +92,11 @@ def build_lm(on_tpu: bool):
                 quantize_lm_params_incremental,
             )
 
-            params = quantize_lm_params_incremental(params, mode="w4a8")
-            print("# int4 groupwise slow stack (W4A8, packed) + int8 rest",
-                  file=sys.stderr)
+            gsz = int(os.environ.get("BENCH_W4A8_GSZ", "128"))
+            params = quantize_lm_params_incremental(params, mode="w4a8",
+                                                    groupsize=gsz)
+            print(f"# int4 groupwise (gsz={gsz}) slow stack (W4A8, packed)"
+                  " + int8 rest", file=sys.stderr)
         else:
             params = jax.jit(quantize_lm_params)(params)
             print("# int8 weight-only quantized", file=sys.stderr)

@@ -399,3 +399,32 @@ def test_w4a8_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["layers"]["attention"]["wqkv"]["gs"]),
         np.asarray(leaf["gs"]))
+
+
+def test_w4a8_pc_kernel_close_to_grouped():
+    """The per-channel-rescale W4A8 kernel (kept for re-testing on future
+    hardware; retired as the serving route, QUANT_DRIFT.md r5) must agree
+    with the grouped kernel to within its int8 re-quantization step."""
+    from fish_speech_tpu.ops.quant import quantize_weight_int4_packed
+    from fish_speech_tpu.ops.w4a8 import w4a8_matmul, w4a8_matmul_pc
+
+    rng = np.random.default_rng(4)
+    m, k, n, gsz = 32, 512, 512, 128
+    w = jnp.asarray(rng.standard_normal((n, k)) * 0.05, jnp.float32)
+    qw = jax.jit(lambda w: quantize_weight_int4_packed(w, groupsize=gsz))(w)
+    x8 = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+
+    base = np.asarray(w4a8_matmul(x8, qw["q4"], qw["gs"], gsz=gsz,
+                                  n_tile=256)).astype(np.float64)
+    got = np.asarray(w4a8_matmul_pc(x8, qw["q4"], qw["gs"], gsz=gsz,
+                                    n_tile=256)).astype(np.float64)
+    # pc re-quantizes the int4 reconstruction to per-channel int8: bound
+    # the divergence by the per-channel quantization step x sum |x8|
+    gs = np.asarray(qw["gs"]).astype(np.float64)
+    s8 = gs.max(-1) * (8.0 / 127.0)
+    bound = (np.abs(np.asarray(x8).astype(np.float64)).sum(-1)[:, None]
+             * s8[None, :])
+    assert np.all(np.abs(got - base) <= 0.75 * bound + 1e-6)
+    # and it must be a close approximation in relative terms
+    denom = np.abs(base).max()
+    assert np.abs(got - base).max() / denom < 0.08
