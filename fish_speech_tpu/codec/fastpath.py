@@ -187,12 +187,22 @@ def _pad_res_unit(u: dict, cp: int) -> dict:
     }
 
 
-def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16) -> dict:
+def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16,
+                 quant: bool | None = None) -> dict:
     """Pre-pack the whole decoder for `decoder_pallas`: per-stage fused-unit
     weights (ops/voc_fused.pack_res_stack) and phase-matmul transposed-conv
     weights, all zero-padded to lane-aligned channel counts so the entire
-    stack runs in padded channel space with no per-call pad/slice ops."""
+    stack runs in padded channel space with no per-call pad/slice ops.
+
+    quant=True (default: env VOC_QUANT=1) int8-quantizes the fused-path
+    conv weights so the kernels run at the MXU's 2x int8 rate with per-tile
+    activation scales — an accuracy trade beyond the reference's bf16
+    vocoder; measured waveform/mel drift in tests/test_codec_fastpath.py
+    and docs/serving.md."""
     from ..ops.voc_fused import pack_res_stack
+
+    if quant is None:
+        quant = os.environ.get("VOC_QUANT", "0") == "1"
 
     dims = [cfg.decoder_dim // (2 ** (i + 1))
             for i in range(len(cfg.decoder_rates))]
@@ -219,15 +229,24 @@ def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16) -> dict:
             phases.append(jnp.transpose(wj, (1, 0, 2))
                           .reshape(cin_p, stride * cout_p))
         res = pack_res_stack(
-            [_pad_res_unit(u, cp) for u in block["res_units"]], dtype=dtype)
+            [_pad_res_unit(u, cp) for u in block["res_units"]], dtype=dtype,
+            quant=quant)
         if cp <= int(os.environ.get("VOC_FUSED_BLOCK_MAX_C", "512")) \
                 and len(phases) == 2:
             # fused-block form (ops/voc_fused.fused_block): stacked phase
             # weights + the bias tiled per phase, matching the kernel's
             # (n_in, stride*C) accumulator layout
-            res["tconv_pw"] = jnp.stack(phases)
+            pw = jnp.stack(phases)
             bias = jnp.pad(block["conv_b"], (0, cp - dim)).astype(jnp.float32)
-            res["tconv_pb"] = jnp.tile(bias, stride)[None, :]
+            pb = jnp.tile(bias, stride)[None, :]
+            if quant:
+                pwf = pw.astype(jnp.float32)
+                ps = jnp.maximum(jnp.max(jnp.abs(pwf), axis=(0, 1)), 1e-12)
+                pw = jnp.round(pwf / ps[None, None, :] * 127.0
+                               ).astype(jnp.int8)
+                pb = jnp.concatenate([pb, (ps / 127.0)[None, :]])
+            res["tconv_pw"] = pw
+            res["tconv_pb"] = pb
         out["blocks"].append({
             "snake_alpha": jnp.pad(
                 block["snake_alpha"], (0, _lane_pad(cin_prev) - cin_prev),

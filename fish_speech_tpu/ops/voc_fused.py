@@ -48,11 +48,17 @@ def halo_for(dilations=_DILATIONS) -> int:
     return -(-rf // 16) * 16  # bf16 sublane tile height
 
 
-def pack_res_stack(units: list[dict], dtype=jnp.bfloat16) -> dict:
+def pack_res_stack(units: list[dict], dtype=jnp.bfloat16,
+                   quant: bool = False) -> dict:
     """Stack per-unit params: w7 (U,7,C,C), w1 (U,C,C), vec (U,6,C) f32 rows
     [alpha1, 1/(alpha1+eps), alpha2, 1/(alpha2+eps), b1, b2] (reciprocals
     precomputed so the kernel's snake needs no divide; eps=1e-9 matches
-    nn.snake / dac Snake1d)."""
+    nn.snake / dac Snake1d).
+
+    quant=True additionally int8-quantizes the conv weights per
+    (unit, out-channel) — the 7 taps of a unit's k7 conv SHARE one scale so
+    the kernel can accumulate all taps in int32 and rescale once — and
+    appends two vec rows [w7_colscale/127, w1_colscale/127]."""
     w7 = jnp.stack([u["conv1_w"] for u in units]).astype(dtype)
     w1 = jnp.stack([u["conv2_w"][0] for u in units]).astype(dtype)
 
@@ -63,7 +69,18 @@ def pack_res_stack(units: list[dict], dtype=jnp.bfloat16) -> dict:
                           u["conv1_b"].astype(jnp.float32),
                           u["conv2_b"].astype(jnp.float32)])
 
-    return {"w7": w7, "w1": w1, "vec": jnp.stack([vec(u) for u in units])}
+    vecs = jnp.stack([vec(u) for u in units])
+    if not quant:
+        return {"w7": w7, "w1": w1, "vec": vecs}
+    w7f = jnp.stack([u["conv1_w"] for u in units]).astype(jnp.float32)
+    w1f = jnp.stack([u["conv2_w"][0] for u in units]).astype(jnp.float32)
+    s7 = jnp.maximum(jnp.max(jnp.abs(w7f), axis=(1, 2)), 1e-12)  # (U, C)
+    s1 = jnp.maximum(jnp.max(jnp.abs(w1f), axis=1), 1e-12)       # (U, C)
+    q7 = jnp.round(w7f / s7[:, None, None, :] * 127.0).astype(jnp.int8)
+    q1 = jnp.round(w1f / s1[:, None, :] * 127.0).astype(jnp.int8)
+    vecs = jnp.concatenate(
+        [vecs, (s7 / 127.0)[:, None], (s1 / 127.0)[:, None]], axis=1)
+    return {"w7": q7, "w1": q1, "vec": vecs}
 
 
 # sin^2(pi t) over t in [-1, 1] as a degree-7 polynomial in v = t^2:
@@ -94,6 +111,15 @@ def _snake(x, alpha, inv_alpha):
     return x + s2 * inv_alpha
 
 
+def _quantize_tile(s):
+    """f32 tile -> (int8 tile, scalar amax). Round-half-away via a signed
+    0.5 pre-add (int8 cast truncates); values bounded by construction."""
+    m = jnp.maximum(jnp.max(jnp.abs(s)), 1e-12)
+    k = 127.0 / m
+    q = (s * k + jnp.where(s >= 0, 0.5, -0.5)).astype(jnp.int8)
+    return q, m
+
+
 def _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, *, tt: int, halo: int,
                dilations: tuple[int, ...], c: int, tail: bool,
                extra: int = 0):
@@ -104,7 +130,15 @@ def _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, *, tt: int, halo: int,
 
     State stays in the I/O dtype (bf16 serving): matches the reference's
     bf16 activations exactly (conv accumulation still f32 via the dots);
-    halves VMEM traffic and VPU work vs carrying f32 state."""
+    halves VMEM traffic and VPU work vs carrying f32 state.
+
+    int8 weights (pack_res_stack quant=True) switch the dots to the MXU's
+    2x int8 rate: activations are quantized per TILE (one scalar amax per
+    snake output — per-row scales would forbid int32 accumulation across
+    the 7 shifted taps, whose terms mix different input rows), all taps
+    accumulate in int32, and one f32 rescale (tile scale x channel scale)
+    replaces nothing the f32 path didn't already pay."""
+    quant = w7_ref.dtype == jnp.int8
     wt = w7_ref.dtype
     pad = halo
     for u, d in enumerate(dilations):
@@ -114,14 +148,38 @@ def _run_units(cur, w7_ref, w1_ref, vec_ref, tail_ref, *, tt: int, halo: int,
         ia1 = vec_ref[u, 1][None, :]
         a2 = vec_ref[u, 2][None, :]
         ia2 = vec_ref[u, 3][None, :]
-        s = _snake(cur.astype(jnp.float32), a1, ia1).astype(wt)
-        acc = jnp.broadcast_to(vec_ref[u, 4][None, :], (n, c)).astype(jnp.float32)
-        for i in range(7):
-            acc = acc + jax.lax.dot(s[i * d: i * d + n], w7_ref[u, i],
-                                    preferred_element_type=jnp.float32)
-        s2 = _snake(acc, a2, ia2).astype(w1_ref.dtype)
-        y = jax.lax.dot(s2, w1_ref[u], preferred_element_type=jnp.float32)
-        y = y + vec_ref[u, 5][None, :]
+        s = _snake(cur.astype(jnp.float32), a1, ia1)
+        if quant:
+            q, m = _quantize_tile(s)
+            acc32 = jax.lax.dot(q[0 * d: 0 * d + n], w7_ref[u, 0],
+                                preferred_element_type=jnp.int32)
+            for i in range(1, 7):
+                acc32 = acc32 + jax.lax.dot(q[i * d: i * d + n],
+                                            w7_ref[u, i],
+                                            preferred_element_type=jnp.int32)
+            acc = (acc32.astype(jnp.float32)
+                   * (vec_ref[u, 6][None, :] * (m * (1.0 / 127.0)))
+                   + vec_ref[u, 4][None, :])
+        else:
+            s = s.astype(wt)
+            acc = jnp.broadcast_to(vec_ref[u, 4][None, :],
+                                   (n, c)).astype(jnp.float32)
+            for i in range(7):
+                acc = acc + jax.lax.dot(s[i * d: i * d + n], w7_ref[u, i],
+                                        preferred_element_type=jnp.float32)
+        s2 = _snake(acc, a2, ia2)
+        if quant:
+            q2, m2 = _quantize_tile(s2)
+            y32 = jax.lax.dot(q2, w1_ref[u],
+                              preferred_element_type=jnp.int32)
+            y = (y32.astype(jnp.float32)
+                 * (vec_ref[u, 7][None, :] * (m2 * (1.0 / 127.0))))
+            y = y + vec_ref[u, 5][None, :]
+        else:
+            s2 = s2.astype(w1_ref.dtype)
+            y = jax.lax.dot(s2, w1_ref[u],
+                            preferred_element_type=jnp.float32)
+            y = y + vec_ref[u, 5][None, :]
         cur = (cur[rf:].astype(jnp.float32) + y).astype(cur.dtype)
         pad -= rf
     assert pad >= extra, (pad, extra)
@@ -264,12 +322,26 @@ def _block_kernel(x_hbm, pw_ref, pb_ref, w7_ref, w1_ref, vec_ref, tail_ref,
                 (pad_in, xbuf.shape[2]), xbuf.dtype)
     n_in = (halo + tt) // stride
     a = pad_in - halo // stride
-    rows0 = xbuf[slot][a: a + n_in]             # lag 0
-    rows1 = xbuf[slot][a - 1: a - 1 + n_in]     # lag 1 (zero row at t=0)
-    acc = jax.lax.dot(rows0, pw_ref[0], preferred_element_type=jnp.float32)
-    acc = acc + jax.lax.dot(rows1, pw_ref[1],
-                            preferred_element_type=jnp.float32)
-    acc = acc + pb_ref[0][None, :]
+    if pw_ref.dtype == jnp.int8:
+        # int8 tconv: one per-tile activation scale over the shared slab so
+        # both lag dots accumulate in int32 with a single rescale
+        slab = xbuf[slot][a - 1: a + n_in].astype(jnp.float32)
+        q, m_in = _quantize_tile(slab)
+        acc32 = jax.lax.dot(q[1:], pw_ref[0],
+                            preferred_element_type=jnp.int32)
+        acc32 = acc32 + jax.lax.dot(q[:-1], pw_ref[1],
+                                    preferred_element_type=jnp.int32)
+        acc = (acc32.astype(jnp.float32)
+               * (pb_ref[1][None, :] * (m_in * (1.0 / 127.0)))
+               + pb_ref[0][None, :])
+    else:
+        rows0 = xbuf[slot][a: a + n_in]             # lag 0
+        rows1 = xbuf[slot][a - 1: a - 1 + n_in]     # lag 1 (zero at t=0)
+        acc = jax.lax.dot(rows0, pw_ref[0],
+                          preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot(rows1, pw_ref[1],
+                                preferred_element_type=jnp.float32)
+        acc = acc + pb_ref[0][None, :]
     cur = jnp.reshape(acc, (halo + tt, c))
     # rows before the sequence start model jnp.pad's zeros, not tconv output
     # (bias included) of zero inputs — mask them (when tt < halo this
