@@ -130,6 +130,9 @@ class TTSEngine:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # stream-step widths already warmed this process (stream_tts's
+        # speculative warm start is once per width, not per request)
+        self._stream_warm_widths: set = set()
         self.codec_params = codec_params
         self.codec_cfg = codec_cfg
         self.cache_len = cache_len or cfg.max_seq_len
@@ -259,6 +262,20 @@ class TTSEngine:
                 z = jnp.zeros((1, n_q, w), jnp.int32)
                 for _ in range(2):
                     np.asarray(voc._step(self.codec_params, voc.state, z)[0])
+                self._stream_warm_widths.add(w)
+
+    def _system_prefix(self, conversation) -> tuple[str, int]:
+        """(prefix_id, prefix_len) for the shared system prompt — the ONE
+        derivation both generate_long and stream_tts must use, or the two
+        paths stop sharing prefix KV cache entries (scheduler keys by this
+        sha256)."""
+        import hashlib
+
+        sys_encoded = conversation.encode_for_inference(
+            self.tokenizer, num_codebooks=self.cfg.num_codebooks)
+        pid = hashlib.sha256(
+            np.ascontiguousarray(sys_encoded).tobytes()).hexdigest()[:16]
+        return pid, sys_encoded.shape[1]
 
     def _generate_codes(self, padded: np.ndarray, start: int, max_new: int,
                         req: "GenerateLongRequest", key, *,
@@ -375,13 +392,7 @@ class TTSEngine:
         prefix_id = None
         prefix_len = 0
         if self.scheduler is not None:
-            import hashlib
-
-            sys_encoded = conversation.encode_for_inference(
-                self.tokenizer, num_codebooks=cfg.num_codebooks)
-            prefix_len = sys_encoded.shape[1]
-            prefix_id = hashlib.sha256(
-                np.ascontiguousarray(sys_encoded).tobytes()).hexdigest()[:16]
+            prefix_id, prefix_len = self._system_prefix(conversation)
 
         key = jax.random.key(req.seed)
 
@@ -480,13 +491,7 @@ class TTSEngine:
         # the system prompt (voice-clone reference) is identical across all
         # segment requests -> mark it so the scheduler's prefix KV cache
         # prefills it once per reference (radix-prefix-cache analog)
-        sys_encoded = conversation.encode_for_inference(
-            self.tokenizer, num_codebooks=self.cfg.num_codebooks)
-        prefix_len = sys_encoded.shape[1]
-        import hashlib
-
-        prefix_id = hashlib.sha256(
-            np.ascontiguousarray(sys_encoded).tobytes()).hexdigest()[:16]
+        prefix_id, prefix_len = self._system_prefix(conversation)
 
         # stateful: each emitted frame is vocoded exactly once (the windowed
         # StreamingVocoder fallback re-decodes a history window per chunk —
@@ -516,19 +521,28 @@ class TTSEngine:
                 # both chunk widths on a THROWAWAY state while the LM is
                 # still prefilling, so neither the compile nor the remote
                 # runtime's one-time second-call cost (COLD_START.md) lands
-                # between the first decoded frames and the first audio
+                # between the first decoded frames and the first audio.
+                # Once per process per width (the jitted step is shared
+                # across StatefulVocoder instances): re-warming on every
+                # request would cost ~4 blocking dispatches competing with
+                # live decode ticks — and could itself delay first audio.
                 try:
                     from ..codec.streaming import init_vocoder_state
 
-                    st0 = init_vocoder_state(self.codec_params,
-                                             self.codec_cfg, batch=1)
-                    n_q = self.codec_cfg.rvq.total_codebooks
-                    for w in sorted({first or chunk_frames, chunk_frames}):
-                        z = jnp.zeros((1, n_q, w), jnp.int32)
-                        for _ in range(2):
-                            np.asarray(vocoder._step(
-                                self.codec_params, st0, z)[0])
-                    del st0
+                    widths = sorted({first or chunk_frames, chunk_frames})
+                    todo = [w for w in widths
+                            if w not in self._stream_warm_widths]
+                    if todo:
+                        st0 = init_vocoder_state(self.codec_params,
+                                                 self.codec_cfg, batch=1)
+                        n_q = self.codec_cfg.rvq.total_codebooks
+                        for w in todo:
+                            z = jnp.zeros((1, n_q, w), jnp.int32)
+                            for _ in range(2):
+                                np.asarray(vocoder._step(
+                                    self.codec_params, st0, z)[0])
+                            self._stream_warm_widths.add(w)
+                        del st0
                 except Exception:
                     pass  # warm-start is best-effort; real feed compiles
                 while True:

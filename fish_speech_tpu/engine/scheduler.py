@@ -419,7 +419,19 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
     def _clamped_top_k(self, req: SlotRequest) -> int:
-        return max(1, min(req.top_k, self.top_k))
+        k = max(1, min(req.top_k, self.top_k))
+        if k != req.top_k:
+            # the tick program's candidate set is statically sized by the
+            # roof (self.top_k); a larger request k cannot be honored
+            # without a recompile. Surface the clamp instead of silently
+            # diverging from the non-scheduler path.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "request %s top_k=%d clamped to the scheduler's static "
+                "roof %d (set ContinuousBatcher top_k to raise it)",
+                req.request_id, req.top_k, self.top_k)
+        return k
 
     def _install_sampling(self, req: SlotRequest, slot: int) -> None:
         """Install the request's per-slot sampling params for decode ticks."""

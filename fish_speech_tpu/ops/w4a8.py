@@ -30,6 +30,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def _pick_n_tile(n: int, k: int, n_tile: int) -> int:
+    """Shared tile policy for both W4A8 kernels. VMEM budget: packed tile +
+    int32 unpack temps + unpacked int8 + x8 + acc must stay well under
+    ~14 MB. Cap, then take the largest lane-aligned divisor of n so odd
+    out-dims (TP-sharded shapes, non-4B configs) tile instead of tripping
+    the divisibility assert."""
+    if n_tile == 0:
+        cap = min(256 if k > 4096 else 512, n)
+        n_tile = next((t for t in range(cap - cap % 128, 0, -128)
+                       if n % t == 0), 0)
+        if n_tile == 0:
+            raise ValueError(f"no 128-aligned tile divides n={n}")
+    n_tile = min(n_tile, n)
+    assert n % n_tile == 0, (n, n_tile)
+    return n_tile
+
+
 def _w4a8_kernel(x_ref, w4_ref, gst_ref, out_ref, *, gsz: int):
     """x (M, K) int8 · unpack(w4 (NT, K/2)).T -> out (M, NT) f32."""
     w = w4_ref[:]                                   # (NT, K/2) int8
@@ -65,18 +82,7 @@ def w4a8_matmul(x8: jax.Array, q4: jax.Array, gs: jax.Array, *,
     g = gs.shape[-1]
     assert kh * 2 == k and g * gsz == k, (x8.shape, q4.shape, gs.shape)
     assert m % 32 == 0, m
-    if n_tile == 0:
-        # VMEM budget: packed tile + int32 unpack temps + unpacked int8 +
-        # x8 + acc must stay well under ~14 MB. Cap, then take the largest
-        # lane-aligned divisor of n so odd out-dims (TP-sharded shapes,
-        # non-4B configs) tile instead of tripping the divisibility assert.
-        cap = min(256 if k > 4096 else 512, n)
-        n_tile = next((t for t in range(cap - cap % 128, 0, -128)
-                       if n % t == 0), 0)
-        if n_tile == 0:
-            raise ValueError(f"no 128-aligned tile divides n={n}")
-    n_tile = min(n_tile, n)
-    assert n % n_tile == 0, (n, n_tile)
+    n_tile = _pick_n_tile(n, k, n_tile)
     # transposed scales, sublane-padded: row g holds group g's N scales
     gp = -(-g // 8) * 8
     gst = jnp.zeros((gp, n), jnp.float32).at[:g].set(gs.T)
@@ -137,14 +143,7 @@ def w4a8_matmul_pc(x8: jax.Array, q4: jax.Array, gs: jax.Array, *,
     g = gs.shape[-1]
     assert kh * 2 == k and g * gsz == k, (x8.shape, q4.shape, gs.shape)
     assert m % 32 == 0, m
-    if n_tile == 0:
-        cap = min(256 if k > 4096 else 512, n)
-        n_tile = next((t for t in range(cap - cap % 128, 0, -128)
-                       if n % t == 0), 0)
-        if n_tile == 0:
-            raise ValueError(f"no 128-aligned tile divides n={n}")
-    n_tile = min(n_tile, n)
-    assert n % n_tile == 0, (n, n_tile)
+    n_tile = _pick_n_tile(n, k, n_tile)
     cs = jnp.maximum(jnp.max(gs, axis=-1), 1e-12)       # (N,) f32
     r16 = jnp.round(256.0 * (gs / cs[:, None]) * (127.0 / 8.0)
                     ).astype(jnp.int32)                 # (N, G)

@@ -106,7 +106,17 @@ def apply_plan(batcher, plan: TickPlan, request_registry: dict | None = None):
                               prefix_len=a.prefix_len)
             if request_registry is not None:
                 request_registry[a.request_id] = req
-        batcher._assign(req, a.slot)
+        try:
+            batcher._assign(req, a.slot)
+        except Exception as e:
+            # a bad request (e.g. prompt over the largest bucket) must not
+            # kill the scheduler thread / follower processes. The exception
+            # is DETERMINISTIC given the plan (same prompt, same buckets on
+            # every host), so every host skips the same assignment and
+            # lockstep is preserved; the leader also reports the error.
+            if request_registry is not None:
+                req.error = e
+                req.done.set()
     # replicate leader-observed cancellations: mark the slot's local request
     # cancelled so the tick-entry sweep frees the same slots on every host
     for slot in plan.cancels:
@@ -222,6 +232,14 @@ class MultihostSchedulerThread:
     def stop(self):
         self._stop.set()
         self.thread.join(timeout=10)
+        if self.thread.is_alive():
+            # the loop thread is still blocked inside a broadcast (e.g. a
+            # follower died mid-collective). The plan channel is a two-phase
+            # size/payload protocol and is NOT thread-safe: a concurrent
+            # shutdown broadcast from this thread could pair the wrong size
+            # with the wrong payload on surviving hosts. Leave the channel
+            # alone — the process is exiting anyway.
+            return
         # release followers from their blocking broadcast
         try:
             broadcast_plan(TickPlan(n_ticks=0, shutdown=True))

@@ -196,10 +196,22 @@ def stage_quant_drift(args, cfg, params):
             drift_stats("serving_full/decode_slow", ref[1], got[1]),
             drift_stats("serving_full/decode_fast", ref[2], got[2])]
     worst = max(r["max_abs_dlogit"] for rs in results.values() for r in rs)
-    agree = min(r["top1_agree"] for rs in results.values() for r in rs)
-    return emit({"stage": "quant_drift", "ok": True,
+    worst_mean = max(r["mean_abs_dlogit"] for rs in results.values()
+                     for r in rs)
+    top5 = min(r["top1_in_ref_top5"] for rs in results.values() for r in rs)
+    # gate on the QUANT_DRIFT.md go/no-go bounds (measured on the int8
+    # serving configs): a drop whose real-weight drift blows them must
+    # fail CI, not just print numbers
+    ok = (worst <= args.drift_max_dlogit
+          and worst_mean <= args.drift_mean_dlogit
+          and top5 >= args.drift_min_top5)
+    return emit({"stage": "quant_drift", "ok": bool(ok),
                  "configs": list(results), "worst_max_abs_dlogit": worst,
-                 "worst_top1_agree": agree})
+                 "worst_mean_abs_dlogit": worst_mean,
+                 "worst_top1_in_ref_top5": top5,
+                 "bounds": {"max": args.drift_max_dlogit,
+                            "mean": args.drift_mean_dlogit,
+                            "top5": args.drift_min_top5}})
 
 
 def stage_codec(args, use_reference: bool):
@@ -287,6 +299,13 @@ def main(argv=None):
     ap.add_argument("--greedy-tokens", type=int, default=24)
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--im-end-id", type=int, default=4)
+    ap.add_argument("--drift-max-dlogit", type=float, default=1.0,
+                    help="QUANT_DRIFT.md go bound: max |dlogit| over the "
+                         "sampling support across serving quant configs")
+    ap.add_argument("--drift-mean-dlogit", type=float, default=0.10)
+    ap.add_argument("--drift-min-top5", type=float, default=0.99,
+                    help="min fraction of quantized top-1 tokens inside "
+                         "the bf16 top-5")
     ap.add_argument("--mel-tol", type=float, default=0.5,
                     help="max |dlog-mel| vs the torch reference decode "
                          "(bf16-vs-f32 arithmetic headroom included)")
