@@ -266,7 +266,9 @@ def pack_decoder(params: dict, cfg: DACConfig, dtype=jnp.bfloat16,
     for i, blk in enumerate(out["blocks"]):
         nxt = (out["blocks"][i + 1]["snake_alpha"]
                if i + 1 < len(out["blocks"]) else out["snake_alpha"])
-        blk["tail_vec"] = jnp.stack([nxt, 1.0 / (nxt + 1e-9)])
+        # row 0 pre-multiplied by 1/pi (the kernel snake's alpha_pi form)
+        blk["tail_vec"] = jnp.stack([nxt * float(1.0 / jnp.pi),
+                                     1.0 / (nxt + 1e-9)])
     out["conv_out_w"] = jnp.pad(params["conv_out_w"],
                                 ((0, 0), (0, cp_last - c_last),
                                  (0, 0))).astype(dtype)

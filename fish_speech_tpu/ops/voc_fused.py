@@ -51,7 +51,7 @@ def halo_for(dilations=_DILATIONS) -> int:
 def pack_res_stack(units: list[dict], dtype=jnp.bfloat16,
                    quant: bool = False) -> dict:
     """Stack per-unit params: w7 (U,7,C,C), w1 (U,C,C), vec (U,6,C) f32 rows
-    [alpha1, 1/(alpha1+eps), alpha2, 1/(alpha2+eps), b1, b2] (reciprocals
+    [alpha1/pi, 1/(alpha1+eps), alpha2/pi, 1/(alpha2+eps), b1, b2] (reciprocals
     precomputed so the kernel's snake needs no divide; eps=1e-9 matches
     nn.snake / dac Snake1d).
 
@@ -65,7 +65,8 @@ def pack_res_stack(units: list[dict], dtype=jnp.bfloat16,
     def vec(u):
         a1 = u["snake1_alpha"].astype(jnp.float32)
         a2 = u["snake2_alpha"].astype(jnp.float32)
-        return jnp.stack([a1, 1.0 / (a1 + 1e-9), a2, 1.0 / (a2 + 1e-9),
+        return jnp.stack([a1 * _INV_PI, 1.0 / (a1 + 1e-9),
+                          a2 * _INV_PI, 1.0 / (a2 + 1e-9),
                           u["conv1_b"].astype(jnp.float32),
                           u["conv2_b"].astype(jnp.float32)])
 
@@ -99,9 +100,11 @@ _S2C = (9.86943246, -32.46507037, 42.68612315, -29.93828299, 12.78106835,
 _INV_PI = 0.3183098861837907
 
 
-def _snake(x, alpha, inv_alpha):
-    """snake(x) = x + sin^2(alpha*x)/(alpha+eps), f32 in/out."""
-    y = alpha * x * _INV_PI
+def _snake(x, alpha_pi, inv_alpha):
+    """snake(x) = x + sin^2(alpha*x)/(alpha+eps), f32 in/out.
+    `alpha_pi` is alpha/pi PRE-MULTIPLIED at pack time — one VPU multiply
+    per element per snake eval saved on the kernels' hottest loop."""
+    y = alpha_pi * x
     t = y - y.astype(jnp.int32).astype(jnp.float32)   # frac, t in (-1, 1)
     v = t * t
     s2 = _S2C[-1]

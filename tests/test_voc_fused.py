@@ -62,12 +62,14 @@ def test_fast_snake_matches_sin():
     transcendental at bf16-relevant precision over a wide input range."""
     from fish_speech_tpu.ops.voc_fused import _snake
 
+    import math
+
     x = jnp.asarray(np.linspace(-50, 50, 200001), jnp.float32)
     for a in (0.05, 0.3, 1.0, 4.0, 30.0):
         alpha = jnp.float32(a)
         inv = jnp.float32(1.0 / (a + 1e-9))
         exact = x + jnp.sin(alpha * x) ** 2 * inv
-        got = _snake(x, alpha, inv)
+        got = _snake(x, jnp.float32(a / math.pi), inv)
         err = float(jnp.max(jnp.abs(got - exact)))
         # poly fit 6.9e-7 + f32 range-reduction rounding (|x| up to 50);
         # bf16 rounding on these magnitudes is ~4e-3, i.e. 100x larger
