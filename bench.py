@@ -452,7 +452,10 @@ def measure_vocoder(on_tpu: bool, *, warmup: int = 2, iters: int = 6) -> float:
     audio_s/s/chip. The measured program is `dac_from_indices` — the exact
     serving decode path (ref hot path modded_dac.py:760-801)."""
     if on_tpu:
-        bv = int(os.environ.get("BENCH_VOC_BATCH", "8"))
+        # default matches the e2e loop's dispatch shape (16x128) so the
+        # standalone row measures the same program serving actually runs;
+        # it also halves the per-dispatch tunnel-RTT share vs the old B=8
+        bv = int(os.environ.get("BENCH_VOC_BATCH", "16"))
         tv = int(os.environ.get("BENCH_VOC_FRAMES", "128"))
     else:
         bv, tv = 2, 16
