@@ -147,7 +147,8 @@ def build_lm(on_tpu: bool):
                                     "1" if on_tpu else "0") == "1",
         unroll_fast_sweeps=os.environ.get("BENCH_FAST_UNROLL", "0") == "1",
         kv_cache_dtype="int8" if kv_dtype == jnp.int8 else "native",
-        kv_cache_layout=kv_layout)
+        kv_cache_layout=kv_layout,
+        kv_fold_write=os.environ.get("BENCH_KV_FOLD", "0") == "1")
     cfg = apply_pallas_attn_mode(
         cfg, pallas_mode,
         chunk=int(os.environ.get("BENCH_PALLAS_CHUNK", "128")))

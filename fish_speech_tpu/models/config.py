@@ -95,6 +95,10 @@ class DualARConfig:
     # cheaper at 4B serving shapes). Decode requires the streaming Pallas
     # attention kernel; prefill pays one transposing read per layer.
     kv_cache_layout: str = "head"
+    # fold the decode-step KV quantize+write into the stream kernel
+    # (requires kv_cache_layout="pos" + int8 KV + stream attention;
+    # opt-in: BENCH_KV_FOLD=1 in bench.py)
+    kv_fold_write: bool = False
     # int8 activation x int8 weight MXU dots for quantized layers (2x MXU
     # rate, no weight-dequant pass; accuracy trade vs the reference's
     # weight-only PTQ — serving opt-in, see ops/quant.matmul_t)
@@ -164,7 +168,8 @@ class DualARConfig:
                         self.pallas_attn_chunk,
                         self.pallas_attn_stream,
                         self.kv_cache_layout == "pos",
-                        self.tp_shards)
+                        self.tp_shards,
+                        self.kv_fold_write)
 
     @property
     def fast_attn(self) -> "AttnDims":
@@ -250,6 +255,10 @@ class AttnDims:
     # the pos-major int8 flat scales use the shard-blocked encoding
     # [shard*(S*Hkv/tp) + s*(Hkv/tp) + h_local]
     tp_shards: int = 1
+    # fold the decode-step KV quantize+write into the streaming kernel
+    # (pos-major int8 single-shard decode only; ops/attention.py
+    # pallas_decode_attention_stream_fold)
+    kv_fold: bool = False
 
 
 def apply_pallas_attn_mode(cfg: DualARConfig, mode: str,

@@ -173,7 +173,19 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
         # cache layout (B, H_kv, S, D); new k/v arrive as (B, T, H_kv, D)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
-        if int8_cache:
+        # KV-write fold: the streaming kernel quantizes + writes the new
+        # row itself (and returns the scales for the flat-scale DUS) —
+        # skip the whole XLA write section (opt-in, decode tick only)
+        fold = (ad.kv_fold and stacked and pos_major and int8_cache
+                and ad.pallas_stream and ad.pallas_block_rows > 0
+                and ad.tp_shards == 1 and t == 1
+                and jnp.ndim(input_pos) == 0
+                and pallas_bounds is not None)
+        if fold:
+            fold_nk = kt[:, :, 0]          # (B, Hkv, D) post-RoPE, raw
+            fold_nv = vt[:, :, 0]
+            ck, cv, cks, cvs = store.k, store.v, store.ks, store.vs
+        if not fold and int8_cache:
             # per-(row, head, position) symmetric int8 — halves cache
             # bandwidth, which dominates the step at large batch*seq
             k_sc = jnp.maximum(jnp.max(jnp.abs(kt.astype(jnp.float32)),
@@ -184,7 +196,9 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
             vt = jnp.round(vt.astype(jnp.float32) / v_sc[..., None])
         kt = kt.astype(store.k.dtype)
         vt = vt.astype(store.v.dtype)
-        if jnp.ndim(input_pos) == 0:
+        if fold:
+            pass                           # the kernel writes the row
+        elif jnp.ndim(input_pos) == 0:
             # all rows write the same slot range (single-utterance / prefill)
             # NOTE an (S*D)-merged flat view for this write was tried and
             # MEASURED CATASTROPHIC (27.5 -> 0.6 steps/s at 4B B=256): the
@@ -365,12 +379,35 @@ def attention(p: dict, ad: AttnDims, x: jax.Array, freqs_cis: jax.Array,
                         pallas_decode_attention_stream,
                     )
 
-                    y = pallas_decode_attention_stream(
-                        qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
-                        lengths, starts, rows=ad.pallas_block_rows,
-                        chunk=ad.pallas_chunk,
-                        int8_scores=ad.pallas_int8_scores,
-                        pos_major=ad.kv_pos_major)
+                    if fold:
+                        from ..ops.attention import (
+                            pallas_decode_attention_stream_fold,
+                        )
+
+                        y, fk, fv, nks, nvs = \
+                            pallas_decode_attention_stream_fold(
+                                qg[:, 0], nf.k, nf.v, nf.ks, nf.vs,
+                                cache.layer, lengths, starts,
+                                fold_nk, fold_nv, input_pos,
+                                rows=ad.pallas_block_rows,
+                                chunk=ad.pallas_chunk,
+                                int8_scores=ad.pallas_int8_scores)
+                        # flat scales: minor offset pos*hkv is not
+                        # 128-aligned, so the kernel returns them for this
+                        # one XLA DUS (tp_shards == 1 here by the gate)
+                        fks = jax.lax.dynamic_update_slice(
+                            nf.ks, nks[None], (li, 0, input_pos * hkv))
+                        fvs = jax.lax.dynamic_update_slice(
+                            nf.vs, nvs[None], (li, 0, input_pos * hkv))
+                        new_cache = StackedCacheView(
+                            KVCache(fk, fv, fks, fvs), li)
+                    else:
+                        y = pallas_decode_attention_stream(
+                            qg[:, 0], nf.k, nf.v, nf.ks, nf.vs, cache.layer,
+                            lengths, starts, rows=ad.pallas_block_rows,
+                            chunk=ad.pallas_chunk,
+                            int8_scores=ad.pallas_int8_scores,
+                            pos_major=ad.kv_pos_major)
             elif ad.pallas_block_rows > 0:
                 if ad.tp_shards > 1:
                     from ..parallel.tp import blocks_attention_tp

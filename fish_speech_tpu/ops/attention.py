@@ -668,11 +668,10 @@ def pallas_decode_attention_blocks(
     return out.reshape(b, hkv, g, d)
 
 
-def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
-                               ks_hbm, vs_hbm, o_ref, sk, sv, sks, svs,
-                               qi8_s, qsc_s, sem,
-                               *, scale, chunk, int8_cache, int8_scores,
-                               rows, hkv, g, ncells, pos_major):
+def _decode_attn_stream_kernel(bounds_ref, layer_ref, *rest,
+                               scale, chunk, int8_cache, int8_scores,
+                               rows, hkv, g, ncells, pos_major,
+                               fold=False):
     """Single grid step streaming ALL row-blocks: a flat (cell, chunk)
     cursor walks the filled chunks of every block in one lax.while_loop with
     the next DMA always in flight — unlike the grid-(B/rows,) blocks kernel,
@@ -683,10 +682,57 @@ def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
     scales (element [l, b, s*hkv + h]): the merged score columns are then
     position-major (col = off*hkv + kvh) and the scale row for a batch row is
     a plain contiguous lane slice — no transposes or padded reshapes, which
-    Mosaic cannot lower."""
+    Mosaic cannot lower.
+
+    fold=True additionally performs THIS layer's decode-step cache update
+    in-kernel (the "KV-write fold"): the new (B, Hkv, D) k/v arrive raw,
+    are int8-quantized on the VPU, and DMA'd into the (aliased) pos-major
+    cache at `pos` BEFORE the first chunk fetch, so the chunk walk reads
+    them back like any other row. The per-(row, head) scales cannot be
+    DMA'd (the flat scale layout's minor offset pos*hkv is not 128-aligned)
+    — they are returned as outputs for the caller's XLA DUS and PATCHED
+    into the in-VMEM scale slabs for the current read."""
+    if fold:
+        (pos_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, nk_ref, nv_ref,
+         o_ref, k_out, v_out, ksc_o, vsc_o,
+         sk, sv, sks, svs, qi8_s, qsc_s, sem,
+         wk8, wv8, tks, tvs, wsem) = rest
+    else:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+         sk, sv, sks, svs, qi8_s, qsc_s, sem) = rest
     li = layer_ref[0]
     h_all = hkv * g
     d = q_ref.shape[-1]
+
+    if fold:
+        wpos = pos_ref[0]
+        bq = q_ref.shape[0]
+        nk = nk_ref[...].astype(jnp.float32)            # (B, hkv, d)
+        nv = nv_ref[...].astype(jnp.float32)
+        ksc = jnp.maximum(jnp.max(jnp.abs(nk), axis=-1) / 127.0, 1e-8)
+        vsc = jnp.maximum(jnp.max(jnp.abs(nv), axis=-1) / 127.0, 1e-8)
+        wk8[0] = jnp.round(nk / ksc[..., None]).astype(jnp.int8)
+        wv8[0] = jnp.round(nv / vsc[..., None]).astype(jnp.int8)
+        ksc_o[...] = ksc
+        vsc_o[...] = vsc
+        # tiled (B, chunk*hkv) scale rows: lane col off*hkv + h holds
+        # scale[b, h] for every off — the patch source for the chunk
+        # containing `pos` (scratch refs: dynamic row reads below)
+        tks[...] = jnp.broadcast_to(ksc[:, None, :],
+                                    (bq, chunk, hkv)).reshape(bq,
+                                                              chunk * hkv)
+        tvs[...] = jnp.broadcast_to(vsc[:, None, :],
+                                    (bq, chunk, hkv)).reshape(bq,
+                                                              chunk * hkv)
+        # the row write must complete before any chunk fetch can read it
+        wk_cp = pltpu.make_async_copy(wk8.at[0], k_out.at[li, wpos],
+                                      wsem.at[0])
+        wv_cp = pltpu.make_async_copy(wv8.at[0], v_out.at[li, wpos],
+                                      wsem.at[1])
+        wk_cp.start()
+        wv_cp.start()
+        wk_cp.wait()
+        wv_cp.wait()
 
     def row_bounds(b):
         return bounds_ref[b, 0], bounds_ref[b, 1]
@@ -705,14 +751,20 @@ def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
             ml = jnp.maximum(ml, row_bounds(cb + i)[0])
         return pl.cdiv(ml, chunk)
 
+    # fold: read values through the ALIASED output refs — the same memory
+    # on TPU, and the only refs that hold the in-kernel row write under
+    # interpret mode (which does not share aliased buffers)
+    k_src = k_out if fold else k_hbm
+    v_src = v_out if fold else v_hbm
+
     def dma(cell, ci, slot):
         bs = pl.ds(cell * rows, rows)
         if pos_major:
             sl = pl.ds(ci * chunk, chunk)
             copies = [
-                pltpu.make_async_copy(k_hbm.at[li, sl, bs], sk.at[slot],
+                pltpu.make_async_copy(k_src.at[li, sl, bs], sk.at[slot],
                                       sem.at[slot, 0]),
-                pltpu.make_async_copy(v_hbm.at[li, sl, bs], sv.at[slot],
+                pltpu.make_async_copy(v_src.at[li, sl, bs], sv.at[slot],
                                       sem.at[slot, 1]),
             ]
             if int8_cache:
@@ -805,7 +857,15 @@ def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
             if int8_cache:
                 # pos-major flat scales arrive already in merged-column
                 # order; head-major slots merge naturally the same way
-                s = s * sks[slot, i].reshape(1, hkv * chunk)
+                srow = sks[slot, i].reshape(1, hkv * chunk)
+                if fold:
+                    # the freshly written row's scales are not in HBM yet
+                    # (caller DUSes them after): patch them in
+                    off = wpos - ci * chunk
+                    srow = jnp.where(col_off[0:1] == off,
+                                     tks[cell * rows + i].reshape(
+                                         1, hkv * chunk), srow)
+                s = s * srow
             pos = ci * chunk + col_off
             valid = ((row_kvh == col_kvh) & (pos < length) & (pos >= start))
             s = jnp.where(valid, s, jnp.float32(-1e30))
@@ -815,7 +875,13 @@ def _decode_attn_stream_kernel(bounds_ref, layer_ref, q_ref, k_hbm, v_hbm,
             l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             v_sl = sv[slot, :, i] if pos_major else sv[slot, i]
             if int8_cache:
-                p = p * svs[slot, i].reshape(1, hkv * chunk)
+                vrow = svs[slot, i].reshape(1, hkv * chunk)
+                if fold:
+                    off = wpos - ci * chunk
+                    vrow = jnp.where(col_off[0:1] == off,
+                                     tvs[cell * rows + i].reshape(
+                                         1, hkv * chunk), vrow)
+                p = p * vrow
                 vb = v_sl.reshape(hkv * chunk, d).astype(jnp.bfloat16)
             else:
                 vb = v_sl.reshape(hkv * chunk, d)
@@ -909,6 +975,101 @@ def pallas_decode_attention_stream(
     )(bounds, jnp.asarray(layer, jnp.int32)[None], qf, k_full, v_full,
       ks_full, vs_full)
     return out.reshape(b, hkv, g, d)
+
+
+def pallas_decode_attention_stream_fold(
+        q: jax.Array, k_full: jax.Array, v_full: jax.Array,
+        ks_full: jax.Array, vs_full: jax.Array,
+        layer: jax.Array, lengths: jax.Array, starts: jax.Array,
+        new_k: jax.Array, new_v: jax.Array, write_pos: jax.Array,
+        rows: int = 16, chunk: int = 128, int8_scores: bool = False,
+        interpret: bool | None = None):
+    """`pallas_decode_attention_stream` with the decode-step KV-cache write
+    FOLDED into the kernel (pos-major int8 caches only): new_k/new_v are
+    the raw (B, Hkv, D) post-RoPE rows; the kernel quantizes them, writes
+    the int8 rows into the (aliased, donated) caches at `write_pos`, and
+    attends over [start, write_pos] including the new row. Returns
+    (out, k_full', v_full', k_scales, v_scales) — the caller must DUS the
+    (B, Hkv) scales into the flat scale caches (their minor offset
+    write_pos*hkv is not 128-aligned, so the kernel cannot).
+
+    Saves the XLA quantize fusions + the two value dynamic_update_slices
+    per layer per step (the 'scale DUS + misc' step bucket)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hkv, g, d = q.shape
+    s = k_full.shape[1]
+    if s % chunk != 0:
+        chunk = s
+    while b % rows != 0:
+        rows //= 2
+    rows = max(rows, 1)
+    scale = 1.0 / math.sqrt(d)
+    bounds = jnp.stack([lengths.astype(jnp.int32),
+                        starts.astype(jnp.int32)], axis=1)
+    qf = q.reshape(b, hkv * g, d)
+    slot_shape = (2, chunk, rows, hkv, d)
+    sc_shape = (2, rows, hkv * chunk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # qf
+            pl.BlockSpec(memory_space=pltpu.ANY),    # k_full
+            pl.BlockSpec(memory_space=pltpu.ANY),    # v_full
+            pl.BlockSpec(memory_space=pltpu.ANY),    # ks_full
+            pl.BlockSpec(memory_space=pltpu.ANY),    # vs_full
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # new_k
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # new_v
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # o
+            pl.BlockSpec(memory_space=pltpu.ANY),    # k_out (alias k_full)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # v_out (alias v_full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # k scales
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # v scales
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(slot_shape, k_full.dtype),
+            pltpu.VMEM(slot_shape, v_full.dtype),
+            pltpu.VMEM(sc_shape, jnp.float32),
+            pltpu.VMEM(sc_shape, jnp.float32),
+            pltpu.VMEM((b, hkv * g, d), jnp.int8),
+            pltpu.VMEM((b, hkv * g, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((1, b, hkv, d), jnp.int8),    # staged k row
+            pltpu.VMEM((1, b, hkv, d), jnp.int8),    # staged v row
+            pltpu.VMEM((b, hkv * chunk), jnp.float32),  # tiled k scales
+            pltpu.VMEM((b, hkv * chunk), jnp.float32),  # tiled v scales
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, k_new, v_new, ksc, vsc = pl.pallas_call(
+        partial(_decode_attn_stream_kernel, scale=scale, chunk=chunk,
+                int8_cache=True, int8_scores=int8_scores, rows=rows,
+                hkv=hkv, g=g, ncells=b // rows, pos_major=True, fold=True),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv * g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_full.shape, k_full.dtype),
+            jax.ShapeDtypeStruct(v_full.shape, v_full.dtype),
+            jax.ShapeDtypeStruct((b, hkv), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv), jnp.float32),
+        ],
+        # alias indices count the scalar-prefetch operands: inputs are
+        # [bounds, layer, pos, qf, k_full, v_full, ks, vs, new_k, new_v]
+        input_output_aliases={4: 1, 5: 2},
+        # the fold scratch (staged int8 rows + tiled scale patches) adds
+        # ~3.5 MB over the base stream kernel, which already sits near the
+        # default scoped-vmem limit at B=256 — raise it (chip capacity 128M)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 2 ** 20),
+        interpret=interpret,
+    )(bounds, jnp.asarray(layer, jnp.int32)[None],
+      jnp.asarray(write_pos, jnp.int32)[None], qf, k_full, v_full,
+      ks_full, vs_full, new_k, new_v)
+    return out.reshape(b, hkv, g, d), k_new, v_new, ksc, vsc
 
 
 def xla_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,

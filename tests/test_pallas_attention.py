@@ -358,3 +358,106 @@ def test_pos_major_decode_matches_head_major():
                                    kv_cache_dtype="int8",
                                    kv_cache_layout="pos"))
     np.testing.assert_array_equal(head8, pos8)
+
+
+def test_stream_fold_matches_two_step():
+    """KV-write-fold kernel (pallas_decode_attention_stream_fold) must be
+    bit-exact vs quantize+DUS-then-stream. Measured 1.4% SLOWER than the
+    two-step form at the 4B serving shape (the XLA write ops overlap well;
+    the kernel's serialized row-write wait does not) — kept flag-gated
+    (kv_fold_write / BENCH_KV_FOLD=1) as a documented refutation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_speech_tpu.ops.attention import (
+        pallas_decode_attention_stream,
+        pallas_decode_attention_stream_fold,
+    )
+
+    L, S, B, HKV, G, D = 2, 64, 8, 2, 2, 128
+    key = jax.random.key(0)
+    pos, li = 33, 1
+    kf = jax.random.normal(jax.random.fold_in(key, 1), (L, S, B, HKV, D))
+    vf = jax.random.normal(jax.random.fold_in(key, 2), (L, S, B, HKV, D))
+    ksc = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1) / 127.0, 1e-8)
+    vsc = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1) / 127.0, 1e-8)
+    k8 = jnp.round(kf / ksc[..., None]).astype(jnp.int8)
+    v8 = jnp.round(vf / vsc[..., None]).astype(jnp.int8)
+    ks_flat = ksc.transpose(0, 2, 1, 3).reshape(L, B, S * HKV)
+    vs_flat = vsc.transpose(0, 2, 1, 3).reshape(L, B, S * HKV)
+    mask = (jnp.arange(S) < pos)[None, :, None, None, None]
+    k8 = jnp.where(mask, k8, 0)
+    v8 = jnp.where(mask, v8, 0)
+    q = jax.random.normal(jax.random.fold_in(key, 3), (B, HKV, G, D),
+                          jnp.bfloat16)
+    nk = jax.random.normal(jax.random.fold_in(key, 4), (B, HKV, D),
+                           jnp.bfloat16)
+    nv = jax.random.normal(jax.random.fold_in(key, 5), (B, HKV, D),
+                           jnp.bfloat16)
+    lengths = jnp.full((B,), pos + 1, jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((B // 2,), jnp.int32),
+                              jnp.full((B // 2,), 5, jnp.int32)])
+
+    nkf, nvf = nk.astype(jnp.float32), nv.astype(jnp.float32)
+    nks = jnp.maximum(jnp.max(jnp.abs(nkf), axis=-1) / 127.0, 1e-8)
+    nvs = jnp.maximum(jnp.max(jnp.abs(nvf), axis=-1) / 127.0, 1e-8)
+    k8a = jax.lax.dynamic_update_slice(
+        k8, jnp.round(nkf / nks[..., None]).astype(jnp.int8)[None, None],
+        (li, pos, 0, 0, 0))
+    v8a = jax.lax.dynamic_update_slice(
+        v8, jnp.round(nvf / nvs[..., None]).astype(jnp.int8)[None, None],
+        (li, pos, 0, 0, 0))
+    ksa = jax.lax.dynamic_update_slice(ks_flat, nks[None],
+                                       (li, 0, pos * HKV))
+    vsa = jax.lax.dynamic_update_slice(vs_flat, nvs[None],
+                                       (li, 0, pos * HKV))
+    oa = pallas_decode_attention_stream(q, k8a, v8a, ksa, vsa, li, lengths,
+                                        starts, rows=4, chunk=32,
+                                        int8_scores=True, pos_major=True)
+
+    ob, kb, vb, nks_b, nvs_b = pallas_decode_attention_stream_fold(
+        q, k8, v8, ks_flat, vs_flat, li, lengths, starts, nk, nv, pos,
+        rows=4, chunk=32, int8_scores=True)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+    np.testing.assert_array_equal(np.asarray(k8a), np.asarray(kb))
+    np.testing.assert_array_equal(np.asarray(v8a), np.asarray(vb))
+    np.testing.assert_allclose(np.asarray(nks), np.asarray(nks_b),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(nvs), np.asarray(nvs_b),
+                               rtol=1e-6)
+
+
+def test_kv_fold_write_decode_matches():
+    """cfg.kv_fold_write=True must reproduce the standard serving decode
+    logits exactly (same quantize math, same attention) at a tiny shape."""
+    import dataclasses
+    import sys
+    from pathlib import Path
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from quant_drift import make_teacher_forced_inputs, run_teacher_forced
+
+    from fish_speech_tpu.models.config import (
+        apply_pallas_attn_mode,
+        tiny_dual_ar_config,
+    )
+    from fish_speech_tpu.models.init import init_dual_ar_params
+    from fish_speech_tpu.ops.quant import quantize_lm_params
+
+    base = dataclasses.replace(
+        tiny_dual_ar_config(), w8a8_matmuls=True, kv_cache_dtype="int8",
+        kv_cache_layout="pos")
+    base = apply_pallas_attn_mode(base, "stream4", chunk=16)
+    params = jax.jit(quantize_lm_params)(
+        init_dual_ar_params(jax.random.key(0), base))
+    prompt, forced = make_teacher_forced_inputs(base, 2, 8, 3)
+    ref = run_teacher_forced(base, params, prompt, forced, 64, fused=False)
+    cfg_fold = dataclasses.replace(base, kv_fold_write=True)
+    got = run_teacher_forced(cfg_fold, params, prompt, forced, 64,
+                             fused=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
